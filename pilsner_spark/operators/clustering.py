@@ -1,0 +1,73 @@
+"""Transitive clustering: iterative connected components (hash-to-min).
+
+Pure DataFrame loop — no GraphFrames dependency. Each vertex's label starts
+as its own id and is repeatedly lowered to the minimum label in its
+neighborhood (including itself); convergence when no label changes.
+``localCheckpoint`` every iteration truncates lineage so plans stay bounded
+(SURVEY.md §7.4 risk 5). For entity-resolution graphs (small dense clusters)
+this converges in a handful of rounds; worst case is the longest path graph,
+bounded by ``max_iter``.
+
+Vertex ids are xxhash64 of the turn key (stable, collision-checked at the
+string/id mapping join); cluster ids are the component-minimum vertex id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges: (key_a, key_b) string pairs. Returns (turn_key, cluster_id).
+
+    Singleton vertices (no edges) are not returned; callers union them back
+    with their own key as cluster id.
+    """
+    spark = edges.sparkSession
+    vmap = (
+        edges.select(F.col("key_a").alias("turn_key"))
+        .union(edges.select("key_b"))
+        .distinct()
+        .withColumn("vid", F.xxhash64("turn_key"))
+    ).localCheckpoint()
+
+    e = (
+        edges.join(vmap.withColumnRenamed("turn_key", "key_a").withColumnRenamed("vid", "src"), "key_a")
+        .join(vmap.withColumnRenamed("turn_key", "key_b").withColumnRenamed("vid", "dst"), "key_b")
+        .select("src", "dst")
+    )
+    # undirected: keep both directions for the neighbor-min aggregation
+    adj = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().localCheckpoint()
+
+    labels = vmap.select(F.col("vid"), F.col("vid").alias("label"))
+    for _ in range(max_iter):
+        nbr_min = (
+            adj.join(labels, adj.dst == labels.vid)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.vid == nbr_min.src, "left")
+            .select(
+                "vid",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("new_label"),
+                "label",
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        labels = new_labels.select("vid", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.join(vmap, "vid").select("turn_key", F.col("label").alias("cluster_id"))
+
+
+def cluster_turns(all_turns: DataFrame, edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Full clustering output: every turn gets a cluster id; turns outside
+    any match edge become singletons keyed by their own vertex id."""
+    comp = connected_components(edges, max_iter=max_iter)
+    return (
+        all_turns.select("turn_key")
+        .join(comp, "turn_key", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.xxhash64("turn_key")))
+    )

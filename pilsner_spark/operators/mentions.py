@@ -1,0 +1,115 @@
+"""Distributed dictionary mention extraction.
+
+The one legitimately non-relational kernel (SURVEY.md §4): the compiled
+dictionary model is built once on the driver, shipped to executors via
+``sparkContext.broadcast``, and applied to transcript text inside
+``mapInPandas`` — Arrow-batched, no per-row Python at the DataFrame level.
+Everything downstream of the scan (attr joins, grouping) stays relational.
+
+Output schema (SURVEY.md §1.1-7 'parse result' as a table):
+``(conv_id, turn_idx, begin, end, matched_text, line_ids, iids, entity_ids)``
+with ``[begin, end)`` character offsets into the original ``text``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pilsner_spark.core.model import CompiledModel
+from pilsner_spark.core.normalize import normalize_with_map
+from pilsner_spark.core.parse import extract_mentions
+
+MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("begin", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("matched_text", T.StringType()),
+        T.StructField("line_ids", T.ArrayType(T.LongType())),
+        T.StructField("iids", T.ArrayType(T.LongType())),
+        T.StructField("entity_ids", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def extract_mentions_df(
+    df: DataFrame,
+    model: CompiledModel,
+    attrs_where: Optional[dict] = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Scan every turn's text against the broadcast model.
+
+    ``attrs_where`` include/exclude predicates are hoisted to a dictionary
+    pre-filter on the driver (before broadcast), which Catalyst-style pushes
+    the work to where it is constant — per SURVEY.md §2.2 Q7 this yields the
+    reference's accepted spans exactly.
+    """
+    spark = df.sparkSession
+    filtered = model.filtered_matchers(attrs_where)
+    if filtered is not model.matchers:
+        import copy
+
+        model = copy.copy(model)
+        model.matchers = filtered
+    bc = spark.sparkContext.broadcast(model)
+
+    def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = bc.value
+        for pdf in batches:
+            rows = {k: [] for k in ("conv_id", "turn_idx", "begin", "end", "matched_text", "line_ids", "iids", "entity_ids")}
+            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf[text_col]):
+                if not text:
+                    continue
+                for mention in extract_mentions(m, text):
+                    rows["conv_id"].append(conv_id)
+                    rows["turn_idx"].append(turn_idx)
+                    rows["begin"].append(mention.begin)
+                    rows["end"].append(mention.end)
+                    rows["matched_text"].append(text[mention.begin : mention.end])
+                    rows["line_ids"].append(mention.line_ids)
+                    rows["iids"].append(mention.iids)
+                    rows["entity_ids"].append(mention.entity_ids)
+            yield pd.DataFrame(rows)
+
+    return df.select("conv_id", "turn_idx", text_col).mapInPandas(scan_batches, MENTION_SCHEMA)
+
+
+def normalized_text_df(
+    df: DataFrame,
+    model: CompiledModel,
+    unit: Optional[str] = None,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Append the normalized form of ``text_col`` under one normalization
+    unit (default: the model's default unit) — an Arrow-batched pandas UDF
+    over the pure normalization kernel."""
+    spark = df.sparkSession
+    unit_name = unit or model.default_normalizer
+    cfg = model.normalizers[unit_name]
+    sep = model.word_separator
+    bc = spark.sparkContext.broadcast((cfg, sep))
+
+    @F.pandas_udf(T.StringType())
+    def norm_udf(texts: pd.Series) -> pd.Series:
+        c, s = bc.value
+        return texts.map(lambda t: normalize_with_map(t, c, s).normalized if t else "")
+
+    return df.withColumn(out_col, norm_udf(F.col(text_col)))
+
+
+def turn_entities_df(mentions: DataFrame) -> DataFrame:
+    """Aggregate mentions to one row per turn with the distinct resolved
+    entity set — the dictionary-hit feature for pairwise scoring."""
+    return (
+        mentions.select("conv_id", "turn_idx", F.explode("entity_ids").alias("entity_id"))
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.collect_set("entity_id").alias("mention_entities"))
+    )

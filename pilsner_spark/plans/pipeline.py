@@ -1,0 +1,200 @@
+"""End-to-end record-linkage pipeline: normalize -> mentions -> block ->
+score -> cluster, with per-stage checkpoints, lineage and metrics
+(north_rule: every stage resumable, per-partition lineage + metrics).
+
+Run standalone (also the spark-submit entry point):
+
+    python -m pilsner_spark.plans.pipeline --scale 0.002 --workdir /tmp/plv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pilsner_spark.operators.blocking import (
+    candidate_pairs,
+    salt_oversized_blocks,
+    token_blocks,
+    with_turn_key,
+)
+from pilsner_spark.operators.clustering import cluster_turns
+from pilsner_spark.operators.mentions import (
+    extract_mentions_df,
+    normalized_text_df,
+    turn_entities_df,
+)
+from pilsner_spark.operators.scoring import match_edges, score_pairs, turn_features
+from pilsner_spark.sources.catalog import Catalog
+from pilsner_spark.sources.synth import SAMPLE_PLANTS, pipeline_input, synth_transcripts
+
+
+def default_model():
+    """The pilsner test-suite dictionary model (golden F1 source)."""
+    from pilsner_spark.sources.sample_dictionary import build_sample_model
+
+    return build_sample_model()
+
+
+class Pipeline:
+    """Stage orchestration with checkpoint/resume via the catalog."""
+
+    def __init__(self, spark: SparkSession, workdir: str, params: Optional[dict] = None):
+        self.spark = spark
+        self.catalog = Catalog(spark, workdir)
+        os.makedirs(workdir, exist_ok=True)
+        self.params = params or {}
+        self.metrics: Dict[str, dict] = {}
+
+    def stage(self, name: str, fn: Callable[[], DataFrame], params: Optional[dict] = None) -> DataFrame:
+        """Run or resume one stage: skip when a checkpoint with the same
+        params hash exists; otherwise compute, materialize, record lineage."""
+        stage_params = {**self.params, **(params or {})}
+        if self.catalog.exists(name, stage_params):
+            self.metrics[name] = {**(self.catalog.lineage(name) or {}), "resumed": True}
+            return self.catalog.read(name)
+        start = time.time()
+        lineage = self.catalog.write(fn(), name, stage_params)
+        lineage["stage_wall_seconds"] = round(time.time() - start, 3)
+        lineage["resumed"] = False
+        self.metrics[name] = lineage
+        return self.catalog.read(name)
+
+
+def run_er_pipeline(
+    spark: SparkSession,
+    workdir: str,
+    transcripts: DataFrame,
+    model=None,
+    max_block_size: int = 400,
+    salt_buckets: int = 16,
+    max_token_df: Optional[int] = None,
+    jw_threshold: float = 0.92,
+    jaccard_threshold: float = 0.6,
+) -> Dict[str, object]:
+    """Full ER run over a transcripts DataFrame (input_hint schema).
+
+    Returns {'clusters': DataFrame, 'metrics': dict, 'pipeline': Pipeline}.
+    """
+    model = model or default_model()
+    params = {
+        "max_block_size": max_block_size,
+        "salt_buckets": salt_buckets,
+        "max_token_df": max_token_df,
+        "jw_threshold": jw_threshold,
+        "jaccard_threshold": jaccard_threshold,
+        "model": model.config_json(),
+    }
+    pipe = Pipeline(spark, workdir, params)
+
+    turns = pipe.stage(
+        "turns_normalized",
+        lambda: with_turn_key(normalized_text_df(pipeline_input(transcripts), model)),
+    )
+    mentions = pipe.stage(
+        "mentions",
+        lambda: extract_mentions_df(transcripts, model),
+    )
+    mention_entities = with_turn_key(turn_entities_df(mentions))
+
+    def build_blocks() -> DataFrame:
+        blocks = token_blocks(turns, max_df=max_token_df)
+        salted, oversized = salt_oversized_blocks(blocks, max_block_size, salt_buckets)
+        n_oversized = oversized.count()
+        pipe.metrics["blocking_salted_keys"] = {"count": int(n_oversized)}
+        return salted
+
+    blocks = pipe.stage("blocks", build_blocks)
+    pairs = pipe.stage("candidate_pairs", lambda: candidate_pairs(blocks))
+    features = turn_features(turns, mention_entities)
+    scored = pipe.stage(
+        "scored_pairs",
+        lambda: score_pairs(pairs, features, jw_threshold, jaccard_threshold),
+    )
+    clusters = pipe.stage(
+        "entity_clusters",
+        lambda: cluster_turns(turns, match_edges(scored)),
+    )
+    return {"clusters": clusters, "scored": scored, "metrics": pipe.metrics, "pipeline": pipe}
+
+
+def evaluate_f1(scored: DataFrame, clusters: DataFrame, truth: DataFrame) -> Dict[str, float]:
+    """Pairwise F1 on labeled pairs *at the same blocking key*: the labeled
+    pairs are the candidate pairs whose two turns both carry planted ground
+    truth (FIXTURES.md §5); a pair is predicted positive when the two turns
+    land in the same cluster."""
+    t = with_turn_key(truth).select("turn_key", "planted_entity")
+    labeled = (
+        scored.select("key_a", "key_b")
+        .join(t.withColumnRenamed("turn_key", "key_a").withColumnRenamed("planted_entity", "entity_a"), "key_a")
+        .join(t.withColumnRenamed("turn_key", "key_b").withColumnRenamed("planted_entity", "entity_b"), "key_b")
+        .filter(F.col("entity_a").isNotNull() & F.col("entity_b").isNotNull())
+        .withColumn("same_entity", F.col("entity_a") == F.col("entity_b"))
+    )
+    c = clusters.select("turn_key", "cluster_id")
+    predicted = (
+        labeled.join(c.withColumnRenamed("turn_key", "key_a").withColumnRenamed("cluster_id", "cluster_a"), "key_a")
+        .join(c.withColumnRenamed("turn_key", "key_b").withColumnRenamed("cluster_id", "cluster_b"), "key_b")
+        .withColumn("predicted", F.col("cluster_a") == F.col("cluster_b"))
+    )
+    agg = predicted.agg(
+        F.sum(F.when(F.col("predicted") & F.col("same_entity"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("predicted") & ~F.col("same_entity"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("predicted") & F.col("same_entity"), 1).otherwise(0)).alias("fn"),
+        F.count("*").alias("pairs"),
+    ).collect()[0]
+    tp, fp, fn = agg["tp"] or 0, agg["fp"] or 0, agg["fn"] or 0
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "tp": int(tp),
+        "fp": int(fp),
+        "fn": int(fn),
+        "labeled_pairs": int(agg["pairs"]),
+        "precision": round(precision, 6),
+        "recall": round(recall, 6),
+        "f1": round(f1, 6),
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="pilsner_spark ER pipeline")
+    parser.add_argument("--scale", type=float, default=0.002, help="corpus scale: n_convs = scale * 1e6")
+    parser.add_argument("--workdir", default="/tmp/pilsner_spark_work")
+    parser.add_argument("--cpus", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args()
+
+    from pilsner_spark.session import get_spark
+
+    spark = get_spark(app_name="pilsner-spark-pipeline", cpus=args.cpus)
+    n_convs = max(20, int(args.scale * 1_000_000))
+    transcripts = synth_transcripts(spark, n_convs=n_convs, seed=args.seed, plants=SAMPLE_PLANTS)
+    transcripts = transcripts.localCheckpoint()  # one deterministic materialization
+    start = time.time()
+    result = run_er_pipeline(spark, args.workdir, transcripts)
+    scores = evaluate_f1(result["scored"], result["clusters"], transcripts)
+    wall = time.time() - start
+    n_pairs = result["scored"].count()
+    report = {
+        "n_convs": n_convs,
+        "n_turns": transcripts.count(),
+        "pairs_scored": int(n_pairs),
+        "wall_seconds": round(wall, 2),
+        "pairs_per_second": round(n_pairs / wall, 1),
+        **scores,
+        "stages": {k: {kk: v[kk] for kk in ("rows", "wall_seconds", "resumed") if isinstance(v, dict) and kk in v} for k, v in result["metrics"].items()},
+    }
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""SparkSession construction with scale-oriented defaults.
+
+One place to pin the configs that matter at 100 TB: AQE (runtime coalescing
++ skew-join splitting), Arrow for every pandas-UDF boundary, sane shuffle
+partitioning. Tests and bench both come through here so plans are comparable.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pilsner-spark",
+    cpus: Optional[int] = None,
+    shuffle_partitions: Optional[int] = None,
+    extra_conf: Optional[dict] = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus_env}]"
+        cpus_for_shuffle = os.cpu_count() or 8 if cpus_env == "*" else int(cpus_env)
+    else:
+        master = f"local[{cpus}]"
+        cpus_for_shuffle = cpus
+    if shuffle_partitions is None:
+        # 2x cores locally; on a real cluster this is overridden per job
+        shuffle_partitions = max(8, 2 * cpus_for_shuffle)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime partition coalescing, skew-join splitting — the
+        # backstop for skewed blocking keys (explicit salting is the primary)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow transfer for pandas UDFs (the normalization/scan kernels)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -46,7 +46,9 @@ SAMPLE_FIELDS = [
 
 def build_sample_model(simple: bool = False):
     """The reference test-suite model: sample_dictionary.txt compiled with
-    t1/t2 normalizers and keywords (ut_utility.py:18-50)."""
+    t1/t2 normalizers and keywords (ut_utility.py:18-50). Built through the
+    file-based compile path (exercises it); content matches the package's
+    built-in sample_dictionary resource."""
     from pilsner_spark.core.model import compile_model_from_file
 
     return compile_model_from_file(

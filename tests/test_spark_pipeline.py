@@ -1,0 +1,143 @@
+"""Spark-layer tests: mention extraction, blocking, scoring, clustering,
+full ER pipeline F1 gate, checkpoint/resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pilsner_spark.operators.blocking import candidate_pairs, token_blocks, salt_oversized_blocks, with_turn_key
+from pilsner_spark.operators.clustering import cluster_turns, connected_components
+from pilsner_spark.operators.mentions import extract_mentions_df, normalized_text_df, turn_entities_df
+from pilsner_spark.plans.pipeline import evaluate_f1, run_er_pipeline
+from pilsner_spark.sources.sample_dictionary import build_sample_model
+from pilsner_spark.sources.synth import SAMPLE_PLANTS, synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def model():
+    return build_sample_model()
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return synth_transcripts(spark, n_convs=120, seed=42).localCheckpoint()
+
+
+def test_synth_schema_and_determinism(spark, transcripts):
+    assert [f.name for f in transcripts.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "planted_entity", "planted_label",
+    ]
+    assert dict(transcripts.dtypes)["turn_idx"] == "int"
+    assert dict(transcripts.dtypes)["ts"] == "timestamp"
+    # per-row determinism: regenerating yields identical text under stable
+    # (conv_id, turn_idx) ordering — the input_hint per-row invariant
+    again = synth_transcripts(spark, n_convs=120, seed=42)
+    a = transcripts.select("conv_id", "turn_idx", "text").orderBy("conv_id", "turn_idx").collect()
+    b = again.select("conv_id", "turn_idx", "text").orderBy("conv_id", "turn_idx").collect()
+    assert a == b
+    # zipf skew: hot conversations exist
+    sizes = transcripts.groupBy("conv_id").count()
+    assert sizes.agg(F.max("count")).collect()[0][0] >= 100
+
+
+def test_mentions_golden_spark(spark, model):
+    # the flagship golden parse, through the distributed operator
+    text = "this is awwsome white refrigerator o refrigerator, is it tors not conflicting refrigerator hey"
+    df = spark.createDataFrame([("c1", 0, text)], "conv_id string, turn_idx int, text string")
+    got = [
+        (r.begin, r.end, r.entity_ids)
+        for r in extract_mentions_df(df, model).orderBy("begin").collect()
+    ]
+    assert got == [
+        (8, 34, ["entity1"]),
+        (35, 36, ["entity1"]),
+        (54, 56, ["entity2"]),
+        (66, 90, ["entity2"]),
+    ]
+
+
+def test_mentions_recall_on_planted(spark, model, transcripts):
+    """Every planted label must produce a mention resolving to the planted
+    entity (disambiguation included)."""
+    mentions = extract_mentions_df(transcripts, model)
+    turns = with_turn_key(turn_entities_df(mentions))
+    truth = with_turn_key(transcripts).filter(F.col("planted_entity").isNotNull())
+    joined = truth.join(turns, "turn_key", "left").withColumn(
+        "ok", F.array_contains(F.coalesce("mention_entities", F.array()), F.col("planted_entity"))
+    )
+    bad = joined.filter(~F.col("ok"))
+    assert bad.count() == 0, bad.select("turn_key", "planted_label", "mention_entities").limit(5).collect()
+
+
+def test_normalized_text(spark, model):
+    df = spark.createDataFrame(
+        [("c", 0, "Awesome WHITE refrigerators, ok")], "conv_id string, turn_idx int, text string"
+    )
+    # default unit is t1: case-fold + split 'tors' + punctuation breakout
+    got = normalized_text_df(df, model).collect()[0]["norm_text"]
+    assert got == "awesome white refrigera tors , ok"
+
+
+def test_blocking_and_salting(spark):
+    turns = spark.createDataFrame(
+        [(f"c{i}", 0, "none", "user", "hot common") for i in range(50)]
+        + [("cx", 1, "none", "user", "rare token")],
+        "conv_id string, turn_idx int, tool string, role string, norm_text string",
+    )
+    turns = with_turn_key(turns)
+    blocks = token_blocks(turns)
+    salted, oversized = salt_oversized_blocks(blocks, max_block_size=10, salt_buckets=4)
+    assert oversized.count() == 2  # 'hot' and 'common' keys
+    # salted sub-blocks bounded
+    assert salted.groupBy("block_key").count().agg(F.max("count")).collect()[0][0] <= 25
+    pairs = candidate_pairs(salted)
+    # pairs still generated inside sub-blocks; rare token produces none alone
+    assert pairs.count() > 0
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "key_a string, key_b string"
+    )
+    comp = {r.turn_key: r.cluster_id for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"]
+    assert comp["x"] == comp["y"]
+    assert comp["a"] != comp["x"]
+    # singletons via cluster_turns
+    all_turns = spark.createDataFrame([("a",), ("q",)], "turn_key string")
+    out = {r.turn_key: r.cluster_id for r in cluster_turns(all_turns, edges).collect()}
+    assert out["a"] == comp["a"] and out["q"] is not None
+
+
+def test_er_pipeline_f1_gate(spark, transcripts, tmp_path):
+    """The BASELINE.json gate: pairwise F1 >= 0.99 on labeled pairs at the
+    same blocking key, sample-dictionary entity assignments as truth."""
+    result = run_er_pipeline(spark, str(tmp_path / "work"), transcripts)
+    scores = evaluate_f1(result["scored"], result["clusters"], transcripts)
+    assert scores["labeled_pairs"] > 1000
+    assert scores["f1"] >= 0.99, scores
+    # the hard negative must be present: cross-entity pairs in same blocks
+    assert scores["tp"] > 0 and scores["labeled_pairs"] > scores["tp"]
+
+
+def test_pipeline_resume(spark, transcripts, tmp_path):
+    """Second run with identical params resumes every stage from checkpoint;
+    a changed param invalidates downstream stages."""
+    work = str(tmp_path / "resume")
+    r1 = run_er_pipeline(spark, work, transcripts)
+    assert all(not m.get("resumed", False) for m in r1["metrics"].values() if isinstance(m, dict) and "resumed" in m)
+    r2 = run_er_pipeline(spark, work, transcripts)
+    resumed = [k for k, m in r2["metrics"].items() if isinstance(m, dict) and m.get("resumed")]
+    assert set(resumed) >= {"turns_normalized", "mentions", "blocks", "candidate_pairs", "scored_pairs", "entity_clusters"}
+    # param change -> stages recompute
+    r3 = run_er_pipeline(spark, work, transcripts, jw_threshold=0.95)
+    assert not r3["metrics"]["scored_pairs"].get("resumed")
+
+
+def test_lineage_recorded(spark, transcripts, tmp_path):
+    work = str(tmp_path / "lineage")
+    result = run_er_pipeline(spark, work, transcripts)
+    lineage = result["pipeline"].catalog.lineage("candidate_pairs")
+    assert lineage["rows"] > 0
+    assert len(lineage["partitions"]) >= 1
+    assert sum(p["rows"] for p in lineage["partitions"]) == lineage["rows"]
+    assert "params_hash" in lineage and "schema" in lineage
