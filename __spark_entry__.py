@@ -1,38 +1,683 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship dictionary-mention scan over sf0.001 documents.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 inventory
+plus the training-data-pipeline additions); each callable takes
+(spark, sf_dir) and returns a DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted only for
+genuinely non-SQL-expressible ops: the pilsner span post-processing and the
+iterative ER pipeline — those get rows-only checks).
+
+Engine-portable determinism rules used throughout: hashing via md5 (same
+value in Spark and DuckDB), money aggregated as decimal(18,2), ratios
+rounded in-query, ranking ties broken by id.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_WORDS = ["table", "query", "join", "spark", "data", "hash join"]
+
+
+def _flagship_model():
+    """Tiny dictionary over testdata vocabulary; single-token labels plus a
+    bigram whose unigrams are absent, keeping the SQL oracle exact."""
+    from pilsner_spark.core.dictionary import compile_specs, fields_from_dicts, rows_from_lines
+    from pilsner_spark.core.model import CompiledModel
+    from pilsner_spark.core.normalize import BYPASS
+
+    fields = fields_from_dicts(
+        [
+            {"name": "entity_id", "include": True, "delimiter": None, "id_flag": True, "normalizer_flag": False, "value_flag": False},
+            {"name": "label", "include": True, "delimiter": None, "id_flag": False, "normalizer_flag": False, "value_flag": True},
+        ]
+    )
+    lines = [f"{w}\t{w}" for w in _FLAGSHIP_WORDS]
+    rows = rows_from_lines(lines, compile_specs(fields))
+    model = CompiledModel()
+    model.add_normalizer("bypass", BYPASS)
+    return model.compile_rows(rows, include_keywords=True)
+
+
+def _mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4/Q1 distributed scan aggregated per (doc, entity): the mention scan
+    runs through the broadcast automaton; counts make it oracle-checkable."""
+    from pilsner_spark.operators.mentions import extract_mentions_df
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("text"),
+    )
+    mentions = extract_mentions_df(docs, _flagship_model())
+    return (
+        mentions.select(F.col("conv_id").cast("bigint").alias("doc_id"), F.explode("entity_ids").alias("entity"))
+        .groupBy("doc_id", "entity")
+        .agg(F.count("*").alias("n_mentions"))
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: dictionary-driven mention extraction (broadcast compiled
+    model inside mapInPandas) over sf0.001 documents."""
+    return _mention_counts(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_b3_projection_filter(spark, sf_dir):
+    """B3: projection + include-filter + equality predicates (pushed to scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 30))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+def q_b4_dense_internal_ids(spark, sf_dir):
+    """B4: dense internal ids in first-seen order (model.py:324-330):
+    entity=o_custkey, line order=o_orderkey."""
+    orders = _t(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(F.min("o_orderkey").alias("first_line"))
+    w = Window.orderBy("first_line")
+    return firsts.select("o_custkey", (F.dense_rank().over(w) - 1).alias("iid"))
+
+
+def q_b6_list_explode_distinct(spark, sf_dir):
+    """B6: delimited list split + explode + distinct (model.py:305)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))).alias("token"),
+    )
+
+
+def q_b7_attribute_melt(spark, sf_dir):
+    """B7: wide->long attribute melt (store_attributes, model.py:285-307)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("n"),
+        F.expr(
+            "stack(3, 'brand', p_brand, 'type', p_type, 'size', cast(p_size as string)) as (attr_name, attr_value)"
+        ),
+    )
+
+
+def q_b12_keyword_collisions(spark, sf_dir):
+    """B12: collision detection + keyword union (make_keywords,
+    utility.py:250-269): tokens shared across >1 source; per source the
+    count of such shared tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))).alias("token")
+    ).distinct()
+    shared = toks.groupBy("token").agg(F.countDistinct("source").alias("ns")).filter(F.col("ns") > 1)
+    return (
+        toks.join(shared.select("token"), "token", "left_semi")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_shared_tokens"))
+    )
+
+
+def q_b14_compiled_model_tables(spark, sf_dir):
+    """B14/B15: the compiled sample-dictionary synonyms table (model
+    persistence is relational here; golden content ut_utility.py:219)."""
+    from pilsner_spark.sources.sample_dictionary import build_sample_model
+
+    rows = build_sample_model().to_tables()["synonyms"]
+    return spark.createDataFrame(
+        rows, "line_id bigint, iid bigint, entity_id string, normalizer string, norm_label string"
+    )
+
+
+def q_q2_semi_anti_filter(spark, sf_dir):
+    """Q2: attrs_where include/exclude as semi/anti joins (utility.py:747-769):
+    customers with an open order (include) and no F-status order (exclude)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    opens = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
+    fails = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        cust.join(opens, "c_custkey", "left_semi")
+        .join(fails, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_q4_mention_scan(spark, sf_dir):
+    """Q4: the multi-pattern span scan (spot_entities, utility.py:399-521)
+    distributed over documents, aggregated to oracle-checkable counts."""
+    return _mention_counts(spark, sf_dir)
+
+
+def q_q9_argmax_ties(spark, sf_dir):
+    """Q9: disambiguation argmax with ties kept (utility.py:579-586):
+    per user, the most frequent event type(s)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    return counts.withColumn("r", F.rank().over(w)).filter(F.col("r") == 1).select("user_id", "event_type", "n")
+
+
+def q_q10_span_postprocess(spark, sf_dir):
+    """Q10/Q11: nested-span drop + overlap reduction (utility.py:666-729)
+    over synthetic span sets — non-SQL-expressible (recovery-list logic),
+    rows-only check. Spans derived deterministically from event values."""
+    from pyspark.sql import types as T
+
+    from pilsner_spark.core.parse import reduce_spans
+
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.select(
+        (F.col("user_id")).alias("gid"),
+        F.floor(F.col("value")).cast("int").alias("b"),
+        (F.floor(F.col("value")) + (F.col("event_id") % 7) + 1).cast("int").alias("e"),
+    )
+    grouped = spans.groupBy("gid").agg(F.collect_set(F.struct("b", "e")).alias("ss"))
+
+    def reduce_batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"gid": [], "b": [], "e": []}
+            for gid, ss in zip(pdf["gid"], pdf["ss"]):
+                segs = {(int(s["b"]), int(s["e"])) for s in ss}
+                for b, e in sorted(reduce_spans(segs)):
+                    out["gid"].append(gid)
+                    out["b"].append(b)
+                    out["e"].append(e)
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [T.StructField("gid", T.LongType()), T.StructField("b", T.IntegerType()), T.StructField("e", T.IntegerType())]
+    )
+    return grouped.mapInPandas(reduce_batch, schema)
+
+
+# -- ER pipeline (rows-only: iterative, non-SQL) ---------------------------
+
+
+def q_er_mentions(spark, sf_dir):
+    from pilsner_spark.operators.mentions import extract_mentions_df
+    from pilsner_spark.sources.sample_dictionary import build_sample_model
+    from pilsner_spark.sources.synth import synth_transcripts
+
+    tr = synth_transcripts(spark, n_convs=40, seed=42)
+    return extract_mentions_df(tr, build_sample_model()).select(
+        "conv_id", "turn_idx", "begin", "end", F.explode("entity_ids").alias("entity_id")
+    )
+
+
+def q_er_clusters(spark, sf_dir):
+    from pilsner_spark.operators.blocking import candidate_pairs, salt_oversized_blocks, token_blocks, with_turn_key
+    from pilsner_spark.operators.clustering import cluster_turns
+    from pilsner_spark.operators.mentions import extract_mentions_df, normalized_text_df, turn_entities_df
+    from pilsner_spark.operators.scoring import match_edges, score_pairs, turn_features
+    from pilsner_spark.sources.sample_dictionary import build_sample_model
+    from pilsner_spark.sources.synth import pipeline_input, synth_transcripts
+
+    model = build_sample_model()
+    tr = synth_transcripts(spark, n_convs=40, seed=42).localCheckpoint()
+    turns = with_turn_key(normalized_text_df(pipeline_input(tr), model))
+    blocks, _ = salt_oversized_blocks(token_blocks(turns), 400, 16)
+    pairs = candidate_pairs(blocks)
+    feats = turn_features(turns, with_turn_key(turn_entities_df(extract_mentions_df(tr, model))))
+    clusters = cluster_turns(turns, match_edges(score_pairs(pairs, feats)))
+    return clusters.groupBy("cluster_id").agg(F.count("*").alias("n_turns")).filter(F.col("n_turns") > 1)
+
+
+# -- dedup family -----------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    from pilsner_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_bands(spark, sf_dir):
+    from pilsner_spark.operators.dedup import minhash_bands
+
+    return minhash_bands(_t(spark, sf_dir, "documents"), num_hashes=6, band_size=2)
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    from pilsner_spark.operators.dedup import minhash_bands, minhash_candidate_pairs
+
+    return minhash_candidate_pairs(minhash_bands(_t(spark, sf_dir, "documents"), num_hashes=6, band_size=2))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from pilsner_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("simhash"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from pilsner_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    from pilsner_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.8)
+
+
+# -- ANN ---------------------------------------------------------------------
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    from pilsner_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    from pilsner_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
+# -- text analysis ------------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    from pilsner_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.word_token_count(t).alias("n_regex_tokens"),
+        TX.char_count(t).alias("n_chars_actual"),
+        TX.punct_ratio(t).alias("punct_ratio"),
+        TX.stopword_ratio(t).alias("stopword_ratio"),
+        TX.mean_token_length(t).alias("mean_token_len"),
+    )
+
+
+def q_text_quality_langid(spark, sf_dir):
+    from pilsner_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality"), TX.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from pilsner_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_multimodal_metadata(spark, sf_dir):
+    """Opaque binary column plumbing: treat text bytes as a blob, extract
+    typed metadata (size, header hex) — the schema/partitioning pattern for
+    image/audio payloads (decode itself is stubbed, operators.multimodal)."""
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.lower(F.hex(F.substring(blob, 1, 8))).alias("header_hex"),
+    )
+
+
+# -- classic relational -------------------------------------------------------
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregation; money as decimal(18,2) for exactness."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def q_window_top_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_setops_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    positive = cust.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    return with_orders.intersect(positive).exceptAll(
+        cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    )
+
+
+def q_events_sessionization(spark, sf_dir):
+    """Streaming-analog batch sessionization: 10-minute-gap sessions per
+    user via lag window (the batch shape of the streaming operator)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = epoch - F.lag(epoch).over(w)
+    return (
+        ev.withColumn("new_session", F.when(gap.isNull() | (gap > 600_000_000), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def q_events_tumbling_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("long").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "b3_projection_filter": q_b3_projection_filter,
+        "b4_dense_internal_ids": q_b4_dense_internal_ids,
+        "b6_list_explode_distinct": q_b6_list_explode_distinct,
+        "b7_attribute_melt": q_b7_attribute_melt,
+        "b12_keyword_collisions": q_b12_keyword_collisions,
+        "b14_compiled_model_tables": q_b14_compiled_model_tables,
+        "q2_semi_anti_filter": q_q2_semi_anti_filter,
+        "q4_mention_scan": q_q4_mention_scan,
+        "q9_argmax_ties": q_q9_argmax_ties,
+        "q10_span_postprocess": q_q10_span_postprocess,
+        "er_mentions": q_er_mentions,
+        "er_clusters": q_er_clusters,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_bands": q_dedup_minhash_bands,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_stats": q_text_stats,
+        "text_quality_langid": q_text_quality_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_metadata": q_multimodal_metadata,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "window_top_orders": q_window_top_orders,
+        "setops_customers": q_setops_customers,
+        "events_sessionization": q_events_sessionization,
+        "events_tumbling_window": q_events_tumbling_window,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_TOKENS_CTE = "select doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) as token from documents"
+
+_SHINGLES_CTE = """
+with toks as (
+  select doc_id, list_filter(string_split(text, ' '), x -> x != '') as ts from documents
+), sh as (
+  select doc_id, unnest(case when len(ts) <= 3 then [array_to_string(ts, ' ')]
+    else list_distinct([array_to_string(ts[i:i+2], ' ') for i in generate_series(1, len(ts)-2)]) end) as shingle
+  from toks
+)
+"""
+
+_MINHASH_CTE = """
+with toks as (
+  select doc_id, list_filter(string_split(text, ' '), x -> x != '') as ts from documents
+), sh as (
+  select doc_id, case when len(ts) <= 3 then [array_to_string(ts, ' ')]
+    else list_distinct([array_to_string(ts[i:i+2], ' ') for i in generate_series(1, len(ts)-2)]) end as shs
+  from toks
+), sig as (
+  select doc_id,
+    [list_min([cast(concat('0x', substr(md5(concat(s, '#7#', cast(h as varchar))), 1, 15)) as bigint) for s in shs])
+     for h in [0,1,2,3,4,5]] as sg
+  from sh
+), bands as (
+  select doc_id, unnest([
+     concat_ws('#', '0', cast(sg[1] as varchar), cast(sg[2] as varchar)),
+     concat_ws('#', '1', cast(sg[3] as varchar), cast(sg[4] as varchar)),
+     concat_ws('#', '2', cast(sg[5] as varchar), cast(sg[6] as varchar))]) as band_key
+  from sig
+)
+"""
+
+def _mention_oracle() -> str:
+    """Per-token occurrence counts with pilsner leftmost-longest semantics:
+    a 'join' immediately after 'hash' is consumed by the longer 'hash join'
+    entry and must not count as a standalone 'join' mention."""
+    uni = "\nunion all\n".join(
+        f"select doc_id, '{w}' as entity, len([i for i in generate_series(1, len(ts)) if ts[i] = '{w}']) as n_mentions from toks"
+        for w in ["table", "query", "spark", "data"]
+    )
+    return f"""
+with toks as (
+  select doc_id, list_filter(string_split(text, ' '), x -> x != '') as ts from documents
+), counted as (
+  {uni}
+  union all
+  select doc_id, 'join' as entity,
+    len([i for i in generate_series(1, len(ts)) if ts[i] = 'join' and (i = 1 or ts[i-1] != 'hash')]) as n_mentions
+  from toks
+  union all
+  select doc_id, 'hash join' as entity,
+    len([i for i in generate_series(1, len(ts)-1) if ts[i] = 'hash' and ts[i+1] = 'join']) as n_mentions
+  from toks
+)
+select doc_id, entity, n_mentions from counted where n_mentions > 0
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pilsner_spark.functions.text import EN_STOPWORDS
+    from pilsner_spark.sources.sample_dictionary import build_sample_model
+
+    synonyms_values = ", ".join(
+        f"({r.line_id}, {r.iid}, '{r.entity_id}', '{r.normalizer}', '{r.norm_label}')"
+        for r in build_sample_model().synonyms
+    )
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+    return {
+        "b3_projection_filter": (
+            "select l_orderkey, l_linenumber, l_quantity, l_extendedprice from lineitem "
+            "where l_returnflag = 'R' and l_quantity > 30"
+        ),
+        "b4_dense_internal_ids": (
+            "with firsts as (select o_custkey, min(o_orderkey) as first_line from orders group by o_custkey) "
+            "select o_custkey, dense_rank() over (order by first_line) - 1 as iid from firsts"
+        ),
+        "b6_list_explode_distinct": _TOKENS_CTE,
+        "b7_attribute_melt": (
+            "select p_partkey as n, 'brand' as attr_name, p_brand as attr_value from part "
+            "union all select p_partkey, 'type', p_type from part "
+            "union all select p_partkey, 'size', cast(p_size as varchar) from part"
+        ),
+        "b12_keyword_collisions": (
+            "with toks as (select distinct source, unnest(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) as token from documents), "
+            "shared as (select token from toks group by token having count(distinct source) > 1) "
+            "select source, count(*) as n_shared_tokens from toks where token in (select token from shared) group by source"
+        ),
+        "b14_compiled_model_tables": (
+            "select * from (values "
+            + synonyms_values
+            + ") as t(line_id, iid, entity_id, normalizer, norm_label)"
+        ),
+        "q2_semi_anti_filter": (
+            "select c_custkey, c_name, c_mktsegment from customer c "
+            "where exists (select 1 from orders o where o.o_custkey = c.c_custkey and o.o_orderstatus = 'O') "
+            "and not exists (select 1 from orders o where o.o_custkey = c.c_custkey and o.o_orderstatus = 'F')"
+        ),
+        "q4_mention_scan": _mention_oracle(),
+        "q9_argmax_ties": (
+            "with counts as (select user_id, event_type, count(*) as n from events group by user_id, event_type) "
+            "select user_id, event_type, n from (select *, rank() over (partition by user_id order by n desc) as r from counts) where r = 1"
+        ),
+        "dedup_exact": (
+            "select md5(text) as text_md5, min(doc_id) as keep_id, count(*) as n_dups from documents group by md5(text)"
+        ),
+        "dedup_minhash_bands": _MINHASH_CTE + "select doc_id, band_key from bands",
+        "dedup_minhash_pairs": _MINHASH_CTE
+        + (
+            "select distinct a.doc_id as id_a, b.doc_id as id_b from bands a join bands b using (band_key) "
+            "where a.doc_id < b.doc_id"
+        ),
+        "dedup_simhash": (
+            "with toks as (select doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x != '')) as ts from documents), "
+            "bits as (select doc_id, b, sum(case when cast(concat('0x', substr(md5(concat(t.tok, '@11@', cast(b as varchar))), 1, 15)) as bigint) % 2 = 1 then 1 else -1 end) as s "
+            "from (select doc_id, unnest(ts) as tok from toks) t, generate_series(0, 15) as g(b) group by doc_id, b) "
+            "select doc_id, cast(sum(case when s > 0 then cast(pow(2, b) as bigint) else 0 end) as bigint) as simhash from bits group by doc_id"
+        ),
+        "dedup_ngram_jaccard": _SHINGLES_CTE
+        + (
+            ", sizes as (select doc_id, count(*) as n_sh from sh group by doc_id), "
+            "dfc as (select shingle from sh group by shingle having count(*) <= 50), "
+            "shf as (select sh.* from sh join dfc using (shingle)), "
+            "inter as (select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_inter from shf a join shf b using (shingle) where a.doc_id < b.doc_id group by a.doc_id, b.doc_id) "
+            "select id_a, id_b, round(cast(n_inter as double) / (sa.n_sh + sb.n_sh - n_inter), 6) as jaccard "
+            "from inter join sizes sa on sa.doc_id = id_a join sizes sb on sb.doc_id = id_b "
+            "where round(cast(n_inter as double) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2"
+        ),
+        "dedup_embedding_cosine": (
+            "select a.vec_id as id_a, b.vec_id as id_b, round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) as cosine "
+            "from embeddings a, embeddings b where a.vec_id < b.vec_id "
+            "and round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) >= 0.8"
+        ),
+        "ann_brute_topk": (
+            "with scored as (select q.vec_id as query_id, v.vec_id as neighbor_id, "
+            "round(list_cosine_similarity(cast(q.embedding as double[]), cast(v.embedding as double[])), 6) as cosine "
+            "from embeddings q, embeddings v where q.vec_id < 10 and q.vec_id != v.vec_id) "
+            "select query_id, neighbor_id, rank, cosine from "
+            "(select *, row_number() over (partition by query_id order by cosine desc, neighbor_id asc) as rank from scored) "
+            "where rank <= 5"
+        ),
+        "ann_ivf_topk": (
+            "with centroids as (select vec_id as cell, embedding as c_vec from embeddings order by vec_id limit 16), "
+            "assign as (select vec_id, cell from (select v.vec_id, c.cell, "
+            "  row_number() over (partition by v.vec_id order by round(list_cosine_similarity(cast(c.c_vec as double[]), cast(v.embedding as double[])), 6) desc, c.cell asc) as r "
+            "  from embeddings v, centroids c) where r = 1), "
+            "qprobe as (select query_id, cell from (select q.vec_id as query_id, c.cell, "
+            "  row_number() over (partition by q.vec_id order by round(list_cosine_similarity(cast(c.c_vec as double[]), cast(q.embedding as double[])), 6) desc, c.cell asc) as r "
+            "  from embeddings q, centroids c where q.vec_id < 10) where r <= 4), "
+            "cand as (select p.query_id, a.vec_id as neighbor_id from qprobe p join assign a using (cell) where p.query_id != a.vec_id), "
+            "scored as (select c.query_id, c.neighbor_id, round(list_cosine_similarity(cast(q.embedding as double[]), cast(v.embedding as double[])), 6) as cosine "
+            "  from cand c join embeddings q on q.vec_id = c.query_id join embeddings v on v.vec_id = c.neighbor_id) "
+            "select query_id, neighbor_id, rank, cosine from "
+            "(select *, row_number() over (partition by query_id order by cosine desc, neighbor_id asc) as rank from scored) "
+            "where rank <= 5"
+        ),
+        "text_stats": (
+            "with t as (select doc_id, text, list_filter(string_split(text, ' '), x -> x != '') as ts from documents) "
+            "select doc_id, len(ts) as n_tokens, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) as n_regex_tokens, "
+            "length(text) as n_chars_actual, "
+            "case when length(text) = 0 then 0.0 else round(cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) as double) / length(text), 6) end as punct_ratio, "
+            f"case when len(ts) = 0 then 0.0 else round(cast(len(list_filter(list_transform(ts, x -> lower(x)), x -> x in ({stop_list}))) as double) / len(ts), 6) end as stopword_ratio, "
+            "case when len(ts) = 0 then 0.0 else round(cast(list_sum(list_transform(ts, x -> length(x))) as double) / len(ts), 6) end as mean_token_len "
+            "from t"
+        ),
+        "text_quality_langid": (
+            "with t as (select doc_id, text, list_filter(string_split(text, ' '), x -> x != '') as ts from documents), "
+            f"m as (select doc_id, text, ts, case when len(ts) = 0 then 0.0 else round(cast(len(list_filter(list_transform(ts, x -> lower(x)), x -> x in ({stop_list}))) as double) / len(ts), 6) end as swr, "
+            "case when length(text) = 0 then 0.0 else round(cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) as double) / length(text), 6) end as pr, "
+            "case when length(text) = 0 then 1.0 else cast(length(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g')) as double) / length(text) end as ar from t) "
+            "select doc_id, round((least(length(text) / 500.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + least(swr * 4.0, 1.0)) / 3.0, 6) as quality, "
+            "case when swr >= 0.05 and ar >= 0.9 then 'en' else 'other' end as lang_pred from m"
+        ),
+        "text_fingerprint": (
+            "select doc_id, md5(array_to_string(list_sort(list_distinct(list_filter(string_split(lower(text), ' '), x -> x != ''))), ' ')) as fingerprint from documents"
+        ),
+        "multimodal_metadata": (
+            "select doc_id, octet_length(encode(text)) as n_bytes, lower(hex(encode(substr(text, 1, 8)))) as header_hex from documents"
+        ),
+        "agg_pricing_summary": (
+            "select l_returnflag, l_linestatus, cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty, "
+            "cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price, count(*) as count_order "
+            "from lineitem group by l_returnflag, l_linestatus"
+        ),
+        "join_revenue_by_nation": (
+            "select r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue, count(*) as n_items "
+            "from lineitem join orders on l_orderkey = o_orderkey join customer on o_custkey = c_custkey "
+            "join nation on c_nationkey = n_nationkey join region on n_regionkey = r_regionkey "
+            "group by r_name, n_name"
+        ),
+        "window_top_orders": (
+            "select o_custkey, o_orderkey, o_totalprice, rn from "
+            "(select o_custkey, o_orderkey, o_totalprice, row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey asc) as rn from orders) "
+            "where rn <= 3"
+        ),
+        "setops_customers": (
+            "select c_custkey from (select distinct o_custkey as c_custkey from orders intersect select c_custkey from customer where c_acctbal > 0) "
+            "except all select c_custkey from customer where c_mktsegment = 'BUILDING'"
+        ),
+        "events_sessionization": (
+            "with g as (select user_id, epoch_us(ts) - lag(epoch_us(ts)) over (partition by user_id order by ts, event_id) as gap from events) "
+            "select user_id, cast(sum(case when gap is null or gap > 600000000 then 1 else 0 end) as bigint) as n_sessions, count(*) as n_events from g group by user_id"
+        ),
+        "events_tumbling_window": (
+            "select cast(epoch(date_trunc('hour', ts)) as bigint) as window_start, event_type, count(*) as n, round(sum(value), 2) as sum_value "
+            "from events group by 1, 2"
+        ),
+    }

@@ -1,0 +1,90 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set: the flagship mention scan, the dedup family, ANN, text
+analytics, the classic relational queries, and the full ER pipeline
+(turn-pairs scored/sec — the BASELINE.json throughput metric). Each query
+is forced through the noop sink so the whole plan executes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q4_mention_scan",
+    "b4_dense_internal_ids",
+    "b12_keyword_collisions",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "text_stats",
+    "text_quality_langid",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "window_top_orders",
+    "events_sessionization",
+    "events_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as entrymod
+    from pilsner_spark.plans.pipeline import build_corpus, evaluate_f1, run_er_pipeline
+    from pilsner_spark.session import get_spark
+
+    spark = get_spark(app_name="pilsner-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - start, 3)
+
+    # ER pipeline throughput: synthetic dictionary corpus sized by sf
+    workdir = f"/tmp/pilsner_bench_work_{os.getpid()}"
+    shutil.rmtree(workdir, ignore_errors=True)
+    n_convs = max(100, int(sf * 20_000))
+    transcripts, model = build_corpus(spark, n_convs, seed=42, dictionary="synthetic", n_entities=max(200, n_convs))
+    transcripts = transcripts.localCheckpoint()
+    start = time.time()
+    result = run_er_pipeline(spark, workdir, transcripts, model=model)
+    n_pairs = result["scored"].count()
+    er_wall = time.time() - start
+    f1 = evaluate_f1(result["scored"], result["clusters"], transcripts)
+    timings["er_pipeline"] = round(er_wall, 3)
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    report = {
+        "metric": "headline_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "er_turns": int(transcripts.count()),
+        "er_pairs_scored": int(n_pairs),
+        "er_pairs_per_second": round(n_pairs / er_wall, 1),
+        "er_f1": f1["f1"],
+    }
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All JVM-side expressions (whole-stage codegen, no UDFs): token counting,
+quality scoring, language-ID heuristic, document fingerprinting. Each has an
+exact ANSI-SQL equivalent (the DuckDB oracles in __spark_entry__.py), so
+results are engine-portable bit-for-bit (hashes via md5, ratios rounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny English stopword list for the language-ID heuristic: chosen to be
+# expressible identically in SQL.
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empties dropped."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish regex tokenization: alphanumeric runs and single
+    non-alphanumeric, non-space characters each count as a token."""
+    return F.size(F.regexp_extract_all(text, F.lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), 0))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Share of characters that are neither alphanumeric nor space."""
+    stripped = F.regexp_replace(text, "[A-Za-z0-9 ]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        F.round(F.length(stripped) / F.length(text), 6)
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(F.lower(text))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(F.round(n_stop / F.size(toks), 6))
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(F.round(total / F.size(toks), 6))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: favors moderate length, low
+    punctuation, presence of stopwords (proxy for natural prose)."""
+    length_term = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    return F.round((length_term + punct_term + stop_term) / 3.0, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: 'en' when the stopword ratio clears a floor
+    and the text is ASCII-ish, else 'other'. (A real n-gram model plugs in
+    behind the same column contract.)"""
+    ascii_ratio = F.when(F.length(text) == 0, F.lit(1.0)).otherwise(
+        F.length(F.regexp_replace(text, "[^\\x20-\\x7E]", "")) / F.length(text)
+    )
+    return F.when((stopword_ratio(text) >= 0.05) & (ascii_ratio >= 0.9), F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    lowercase token set — the exact-dedup key that survives token reorder."""
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(text)))), " ")
+    return F.md5(canon)
+
+
+def md5_long(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 as a bigint.
+    Identical in DuckDB as cast(concat('0x', substr(md5(x),1,15)) as bigint)
+    — the engine-portable substitute for xxhash64 wherever an oracle needs
+    to reproduce hashing."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")

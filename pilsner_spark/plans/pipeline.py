@@ -164,22 +164,52 @@ def evaluate_f1(scored: DataFrame, clusters: DataFrame, truth: DataFrame) -> Dic
     }
 
 
+def build_corpus(spark, n_convs: int, seed: int, dictionary: str, n_entities: int):
+    """Corpus + model for a pipeline run. 'sample' = the pilsner test-suite
+    dictionary (golden F1, hot 2-entity blocks — the skew stress case);
+    'synthetic' = n_entities unambiguous entities (throughput shape of the
+    reference's performance harness)."""
+    from pilsner_spark.sources.sample_dictionary import build_sample_model
+    from pilsner_spark.sources.synth import synthetic_plants
+
+    if dictionary == "sample":
+        return synth_transcripts(spark, n_convs=n_convs, seed=seed, plants=SAMPLE_PLANTS), build_sample_model()
+    plants = synthetic_plants(n_entities, seed=seed)
+    from pilsner_spark.core.dictionary import compile_specs, fields_from_dicts, rows_from_lines
+    from pilsner_spark.core.model import CompiledModel
+    from pilsner_spark.core.normalize import BYPASS
+
+    fields = fields_from_dicts(
+        [
+            {"name": "entity_id", "include": True, "delimiter": None, "id_flag": True, "normalizer_flag": False, "value_flag": False},
+            {"name": "label", "include": True, "delimiter": None, "id_flag": False, "normalizer_flag": False, "value_flag": True},
+        ]
+    )
+    rows = rows_from_lines([f"{p.entity}\t{p.label}" for p in plants], compile_specs(fields))
+    model = CompiledModel()
+    model.add_normalizer("bypass", BYPASS)
+    model.compile_rows(rows, include_keywords=True)
+    return synth_transcripts(spark, n_convs=n_convs, seed=seed, plants=plants), model
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description="pilsner_spark ER pipeline")
     parser.add_argument("--scale", type=float, default=0.002, help="corpus scale: n_convs = scale * 1e6")
     parser.add_argument("--workdir", default="/tmp/pilsner_spark_work")
     parser.add_argument("--cpus", type=int, default=None)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--dictionary", choices=["sample", "synthetic"], default="sample")
+    parser.add_argument("--entities", type=int, default=2000)
     args = parser.parse_args()
 
     from pilsner_spark.session import get_spark
 
     spark = get_spark(app_name="pilsner-spark-pipeline", cpus=args.cpus)
     n_convs = max(20, int(args.scale * 1_000_000))
-    transcripts = synth_transcripts(spark, n_convs=n_convs, seed=args.seed, plants=SAMPLE_PLANTS)
+    transcripts, model = build_corpus(spark, n_convs, args.seed, args.dictionary, args.entities)
     transcripts = transcripts.localCheckpoint()  # one deterministic materialization
     start = time.time()
-    result = run_er_pipeline(spark, args.workdir, transcripts)
+    result = run_er_pipeline(spark, args.workdir, transcripts, model=model)
     scores = evaluate_f1(result["scored"], result["clusters"], transcripts)
     wall = time.time() - start
     n_pairs = result["scored"].count()
