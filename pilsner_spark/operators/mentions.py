@@ -43,6 +43,7 @@ def extract_mentions_df(
     model: CompiledModel,
     attrs_where: Optional[dict] = None,
     text_col: str = "text",
+    passthrough_cols: tuple = (),
 ) -> DataFrame:
     """Scan every turn's text against the broadcast model.
 
@@ -59,12 +60,18 @@ def extract_mentions_df(
         model = copy.copy(model)
         model.matchers = filtered
     bc = spark.sparkContext.broadcast(model)
+    base_cols = ("conv_id", "turn_idx", "begin", "end", "matched_text", "line_ids", "iids", "entity_ids")
+    extra = tuple(passthrough_cols)
+    schema = T.StructType(
+        MENTION_SCHEMA.fields + [df.schema[c] for c in extra]
+    )
 
     def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = bc.value
         for pdf in batches:
-            rows = {k: [] for k in ("conv_id", "turn_idx", "begin", "end", "matched_text", "line_ids", "iids", "entity_ids")}
-            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf[text_col]):
+            rows = {k: [] for k in base_cols + extra}
+            extra_vals = [pdf[c] for c in extra]
+            for i, (conv_id, turn_idx, text) in enumerate(zip(pdf["conv_id"], pdf["turn_idx"], pdf[text_col])):
                 if not text:
                     continue
                 for mention in extract_mentions(m, text):
@@ -76,9 +83,11 @@ def extract_mentions_df(
                     rows["line_ids"].append(mention.line_ids)
                     rows["iids"].append(mention.iids)
                     rows["entity_ids"].append(mention.entity_ids)
+                    for c, series in zip(extra, extra_vals):
+                        rows[c].append(series.iloc[i])
             yield pd.DataFrame(rows)
 
-    return df.select("conv_id", "turn_idx", text_col).mapInPandas(scan_batches, MENTION_SCHEMA)
+    return df.select("conv_id", "turn_idx", text_col, *extra).mapInPandas(scan_batches, schema)
 
 
 def normalized_text_df(

