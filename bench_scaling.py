@@ -55,11 +55,25 @@ def main() -> None:
     parser.add_argument("--max-token-df", type=int, default=None)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    parser.add_argument("--from-reports", nargs=2, metavar=("N_JSON", "N4_JSON"), default=None,
+                        help="assemble from two pre-recorded per-level report files instead of running")
+    parser.add_argument("--level", type=int, default=None,
+                        help="run just this core count and print its report (for split runs)")
     args = parser.parse_args()
 
+    if args.level:
+        print(json.dumps(run_once(args.level, args.scale, args.entities, args.seed, args.max_token_df)))
+        return
+
     n, n4 = args.base_cpus, 4 * args.base_cpus
-    r_n = run_once(n, args.scale, args.entities, args.seed, args.max_token_df)
-    r_4n = run_once(n4, args.scale, args.entities, args.seed, args.max_token_df)
+    if args.from_reports:
+        with open(args.from_reports[0]) as f:
+            r_n = json.load(f)
+        with open(args.from_reports[1]) as f:
+            r_4n = json.load(f)
+    else:
+        r_n = run_once(n, args.scale, args.entities, args.seed, args.max_token_df)
+        r_4n = run_once(n4, args.scale, args.entities, args.seed, args.max_token_df)
     eff = (r_4n["pairs_per_second"] / r_n["pairs_per_second"]) / 4.0
     summary = {
         "scale": args.scale,

@@ -105,6 +105,12 @@ def salt_oversized_blocks(
 ) -> Tuple[DataFrame, DataFrame]:
     """Shatter hot block keys into salted sub-blocks of bounded size.
 
+    Bucket count is **per key**: ceil(block_size / max_block_size), so a
+    10^5-member hot key shatters into 10^5/max sub-blocks (pair count then
+    grows linearly with block size instead of quadratically — the property
+    that keeps the self-join alive at 10^12 turns). ``salt_buckets`` is the
+    floor for moderately-hot keys.
+
     Returns (salted_blocks, oversized_report) — the report lists every key
     that was salted with its original size, so coverage loss (cross-sub-block
     pairs within a hot key no longer compared directly) is visible, never
@@ -113,14 +119,19 @@ def salt_oversized_blocks(
     """
     sizes = blocks.groupBy("block_key").agg(F.count("*").alias("block_size"))
     oversized = sizes.filter(F.col("block_size") > max_block_size)
+    buckets = F.greatest(
+        F.lit(salt_buckets),
+        F.ceil(F.col("block_size") / F.lit(max_block_size)).cast("int"),
+    )
     salted = (
-        blocks.join(F.broadcast(oversized.select("block_key")), "block_key", "left_semi")
+        blocks.join(F.broadcast(oversized.withColumn("n_buckets", buckets).select("block_key", "n_buckets")), "block_key", "inner")
         .withColumn(
             "block_key",
             F.concat_ws(
-                "#", F.col("block_key"), F.pmod(F.xxhash64("turn_key"), F.lit(salt_buckets)).cast("string")
+                "#", F.col("block_key"), F.pmod(F.xxhash64("turn_key"), F.col("n_buckets")).cast("string")
             ),
         )
+        .drop("n_buckets")
         .unionByName(blocks.join(F.broadcast(oversized.select("block_key")), "block_key", "left_anti"))
     )
     return salted, oversized

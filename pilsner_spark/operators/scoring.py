@@ -61,10 +61,11 @@ def score_pairs(
         F.col("tokens").alias("tokens_b"),
         F.col("mention_entities").alias("entities_b"),
     )
-    # the per-turn feature table is orders of magnitude smaller than the
-    # pair table: broadcast both probes, no shuffle of the 10^k-pair side
+    # join strategy is left to AQE: when the pair table dwarfs the per-turn
+    # feature table it broadcasts, otherwise sort-merge — forcing broadcast
+    # here serializes a wide (token-array) table through the driver twice
     scored = (
-        pairs.join(F.broadcast(fa), "key_a").join(F.broadcast(fb), "key_b")
+        pairs.join(fa, "key_a").join(fb, "key_b")
         .withColumn("shared_entity", F.arrays_overlap("entities_a", "entities_b"))
         .withColumn("jaccard", token_jaccard(F.col("tokens_a"), F.col("tokens_b")))
     )

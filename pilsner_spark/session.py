@@ -19,6 +19,14 @@ def get_spark(
     shuffle_partitions: Optional[int] = None,
     extra_conf: Optional[dict] = None,
 ) -> SparkSession:
+    # make the package importable in executor Python workers regardless of
+    # the driver script's cwd — local-mode equivalent of shipping the
+    # package via `spark-submit --py-files` (production path)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+
     if cpus is None:
         cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus_env}]"
@@ -45,6 +53,7 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

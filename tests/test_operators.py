@@ -1,0 +1,99 @@
+"""Unit tests for dedup / ANN / text / similarity operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pilsner_spark.functions.similarity import jaro_winkler
+from pilsner_spark.operators.ann import brute_force_topk, ivf_topk
+from pilsner_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_bands,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+)
+
+
+def test_jaro_winkler_known_values():
+    # standard textbook values
+    assert abs(jaro_winkler("martha", "marhta") - 0.9611) < 1e-3
+    assert abs(jaro_winkler("dixon", "dicksonx") - 0.8133) < 1e-3
+    assert jaro_winkler("same", "same") == 1.0
+    assert jaro_winkler("", "x") == 0.0
+    assert jaro_winkler("abc", "xyz") == 0.0
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    other = "completely different text about spark dataframes and shuffle partitions"
+    rows = [(0, base), (1, near), (2, other), (3, base)]  # 3 is exact dup of 0
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r.keep_id: r.n_dups for r in exact_dedup_groups(docs).collect()}
+    assert groups[0] == 2  # docs 0 and 3
+    assert groups[1] == 1 and groups[2] == 1
+
+
+def test_minhash_near_dup(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in minhash_candidate_pairs(minhash_bands(docs, num_hashes=12, band_size=2)).collect()}
+    assert (0, 3) in pairs  # exact dup always collides
+    assert (0, 1) in pairs  # near dup shares most shingles
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 3)] == 1.0
+    assert 0.5 < pairs[(0, 1)] < 1.0
+    assert (0, 2) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        angle = (i % 8) / 8.0 * math.pi
+        noise = 0.01 * (i // 8)
+        rows.append((i, [math.cos(angle) + noise, math.sin(angle), 0.1, 0.0]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_ann_brute_force(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk(vectors, queries, k=4)
+    rows = out.collect()
+    assert len(rows) == 12
+    # nearest neighbors of vec 0 are the same-angle vectors (8, 16, 24, 32)
+    n0 = {r.neighbor_id for r in rows if r.query_id == 0}
+    assert n0 == {8, 16, 24, 32}
+    # ranks are 1..4 per query
+    assert sorted(r.rank for r in rows if r.query_id == 0) == [1, 2, 3, 4]
+
+
+def test_ann_ivf_recall(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = {(r.query_id, r.neighbor_id) for r in brute_force_topk(vectors, queries, k=3).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_topk(vectors, queries, k=3, n_cells=8, n_probe=4).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.6, (recall, brute - ivf)
+
+
+def test_text_functions_edge_cases(spark):
+    from pilsner_spark.functions import text as TX
+
+    df = spark.createDataFrame([("",), ("   ",), ("the the the",), ("a!b?c",)], "text string")
+    out = df.select(
+        TX.token_count(F.col("text")).alias("n"),
+        TX.punct_ratio(F.col("text")).alias("p"),
+        TX.stopword_ratio(F.col("text")).alias("s"),
+        TX.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert out[0].n == 0 and out[1].n == 0
+    assert out[2].s == 1.0
+    assert out[3].p == pytest.approx(2 / 5)
+    assert all(0.0 <= r.q <= 1.0 for r in out)
