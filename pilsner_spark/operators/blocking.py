@@ -137,18 +137,30 @@ def salt_oversized_blocks(
     return salted, oversized
 
 
-def candidate_pairs(blocks: DataFrame) -> DataFrame:
-    """Distinct unordered turn pairs co-occurring in any block.
+def candidate_pairs(
+    blocks: DataFrame, broadcast_blocks: bool = False, dedupe: bool = True
+) -> DataFrame:
+    """Unordered turn pairs co-occurring in any block.
 
     Physical shape: shuffle on block_key (sort-merge self-join), AQE splits
     residual skew; distinct() collapses pairs found via multiple keys before
-    the expensive scoring stage.
+    the expensive scoring stage. With ``broadcast_blocks`` (block table fits
+    in executor memory) the self-join goes map-side — the right shape
+    whenever |blocks| << |pairs|, which salting guarantees.
+
+    ``dedupe=False`` skips the distinct(): with it, the distinct's shuffle
+    of the full pair table is the stage's ONLY shuffle, while the typical
+    duplicate factor (pairs sharing >1 block key) is small (~1.1x measured
+    on the synthetic corpus) — scoring a few percent of pairs twice is
+    cheaper than shuffling all of them, and downstream consumers dedupe the
+    far smaller match-edge set instead. Keep True when callers need the
+    pair table itself to be a set.
     """
     a = blocks.alias("a")
-    b = blocks.alias("b")
-    return (
+    b = F.broadcast(blocks.alias("b")) if broadcast_blocks else blocks.alias("b")
+    pairs = (
         a.join(b, "block_key")
         .filter(F.col("a.turn_key") < F.col("b.turn_key"))
         .select(F.col("a.turn_key").alias("key_a"), F.col("b.turn_key").alias("key_b"))
-        .distinct()
     )
+    return pairs.distinct() if dedupe else pairs

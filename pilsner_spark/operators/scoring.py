@@ -21,16 +21,25 @@ from pyspark.sql import functions as F
 from pilsner_spark.functions.similarity import (
     jaro_winkler_udf,
     levenshtein_ratio,
+    make_keyed_similarity_udf,
     token_jaccard,
 )
 from pilsner_spark.operators.blocking import tokens_col
 
 
 def turn_features(turns: DataFrame, mentions_entities: DataFrame) -> DataFrame:
-    """One row per turn: normalized text, token set, resolved entity set."""
+    """One row per turn: normalized text, token set (plus its xxhash64
+    image), resolved entity set.
+
+    ``htokens`` exists because the pairwise jaccard runs O(|pairs|) times
+    while tokenization runs O(|turns|) times: hashing each token once here
+    lets the hot loop intersect fixed-width longs instead of strings
+    (measured ~8x cheaper per pair; 64-bit collisions are negligible for a
+    similarity feature)."""
     return (
         turns.select("turn_key", "norm_text")
         .withColumn("tokens", F.array_distinct(tokens_col("norm_text")))
+        .withColumn("htokens", F.transform("tokens", lambda t: F.xxhash64(t)))
         .join(mentions_entities.select("turn_key", "mention_entities"), "turn_key", "left")
         .withColumn("mention_entities", F.coalesce("mention_entities", F.array()))
     )
@@ -41,6 +50,7 @@ def score_pairs(
     features: DataFrame,
     jw_threshold: float = 0.92,
     jaccard_threshold: float = 0.6,
+    broadcast_features: bool = False,
 ) -> DataFrame:
     """Score every candidate pair; returns the scored table with a boolean
     ``is_match``.
@@ -49,37 +59,78 @@ def score_pairs(
     textual similarity (near-duplicate turns) matches. Thresholds are
     engine parameters surfaced in pipeline params/lineage.
     """
-    fa = features.select(
-        F.col("turn_key").alias("key_a"),
-        F.col("norm_text").alias("norm_a"),
-        F.col("tokens").alias("tokens_a"),
-        F.col("mention_entities").alias("entities_a"),
-    )
-    fb = features.select(
-        F.col("turn_key").alias("key_b"),
-        F.col("norm_text").alias("norm_b"),
-        F.col("tokens").alias("tokens_b"),
-        F.col("mention_entities").alias("entities_b"),
-    )
-    # join strategy is left to AQE: when the pair table dwarfs the per-turn
-    # feature table it broadcasts, otherwise sort-merge — forcing broadcast
-    # here serializes a wide (token-array) table through the driver twice
+    # Join payload: keys + fixed-width token hashes + entity sets ONLY.
+    # The normalized text is deliberately NOT joined: at |pairs| >>
+    # |turns| the dominant scoring cost is copying the joined feature
+    # payload once per pair, and the ~100-char norm strings double it while
+    # being needed only for the rare undecided rows (see below).
+    side_cols = ["htokens", "mention_entities"] + ([] if broadcast_features else ["norm_text"])
+
+    def side(suffix: str) -> DataFrame:
+        renames = {"htokens": "htokens_", "mention_entities": "entities_", "norm_text": "norm_"}
+        sel = [F.col("turn_key").alias(f"key_{suffix}")] + [
+            F.col(c).alias(renames[c] + suffix) for c in side_cols
+        ]
+        return features.select(*sel)
+
+    fa, fb = side("a"), side("b")
+    # Join strategy: the pair table is |pairs| ~ O(block_size x turns) while
+    # the per-turn feature table is O(turns) — at every realistic setting the
+    # fact/dim ratio is huge. When the caller knows the feature table fits in
+    # executor memory (``broadcast_features``), force broadcast-hash joins:
+    # the scoring stage then has NO shuffle at all (scan pairs -> two
+    # map-side hash joins -> project -> write), which is what keeps it
+    # linearly scalable — a sort-merge join here moves |pairs| x width
+    # through the shuffle twice. When the feature table is too big for a
+    # broadcast (10^9+ turns per job slice), leave it to AQE/sort-merge.
+    if broadcast_features:
+        fa, fb = F.broadcast(fa), F.broadcast(fb)
     scored = (
         pairs.join(fa, "key_a").join(fb, "key_b")
         .withColumn("shared_entity", F.arrays_overlap("entities_a", "entities_b"))
-        .withColumn("jaccard", token_jaccard(F.col("tokens_a"), F.col("tokens_b")))
+        .withColumn("jaccard", token_jaccard(F.col("htokens_a"), F.col("htokens_b")))
     )
-    # Levenshtein (O(len^2) JVM) and Jaro-Winkler (Python UDF) are the
-    # expensive features: compute them only where the cheap set features
-    # leave the decision open (manual predicate pushdown; a shared-entity
-    # pair matches regardless, a low-jaccard pair cannot reach threshold)
+    # Levenshtein (O(len^2)) and Jaro-Winkler are the expensive features:
+    # compute them only where the cheap set features leave the decision
+    # open (a shared-entity pair matches regardless, a low-jaccard pair
+    # cannot reach threshold). `F.when(cond, udf(...))` would NOT achieve
+    # that: Catalyst extracts Python UDFs into an ArrowEvalPython node
+    # that evaluates the UDF for EVERY input row before the conditional
+    # projection (measured 10x+ stage slowdown at 5M pairs with <0.001%
+    # undecided). Masking the UDF *inputs* instead keeps one join pass
+    # while the character-level work runs only on genuinely undecided
+    # rows — null keys short-circuit in the kernel; the normalized text
+    # itself reaches the kernel via a broadcast map keyed by turn id.
     undecided = ~F.col("shared_entity") & (F.col("jaccard") >= jaccard_threshold * 0.5)
-    scored = scored.withColumn(
-        "lev_ratio",
-        F.when(undecided, levenshtein_ratio(F.col("norm_a"), F.col("norm_b"))).otherwise(F.lit(0.0)),
-    ).withColumn(
-        "jw", F.when(undecided, jaro_winkler_udf(F.col("norm_a"), F.col("norm_b"))).otherwise(F.lit(0.0))
-    )
+    mask = lambda c: F.when(undecided, F.col(c))  # noqa: E731
+    if broadcast_features:
+        norms = {
+            r["turn_key"]: r["norm_text"]
+            for r in features.select("turn_key", "norm_text").collect()
+        }
+        sim_udf = make_keyed_similarity_udf(pairs.sparkSession.sparkContext.broadcast(norms))
+        scored = (
+            scored.withColumn("_sim", sim_udf(mask("key_a"), mask("key_b")))
+            .withColumns(
+                {
+                    "lev_ratio": F.coalesce(F.col("_sim.lev"), F.lit(0.0)),
+                    "jw": F.coalesce(F.col("_sim.jw"), F.lit(0.0)),
+                }
+            )
+            .drop("_sim")
+        )
+    else:
+        scored = scored.withColumns(
+            {
+                "lev_ratio": F.coalesce(
+                    F.when(undecided, levenshtein_ratio(F.col("norm_a"), F.col("norm_b"))),
+                    F.lit(0.0),
+                ),
+                "jw": F.coalesce(
+                    jaro_winkler_udf(mask("norm_a"), mask("norm_b")), F.lit(0.0)
+                ),
+            }
+        )
     return scored.withColumn(
         "is_match",
         F.col("shared_entity")
@@ -90,4 +141,7 @@ def score_pairs(
 
 
 def match_edges(scored: DataFrame) -> DataFrame:
-    return scored.filter(F.col("is_match")).select("key_a", "key_b")
+    # distinct: the scored table may contain duplicate pairs (see
+    # candidate_pairs(dedupe=False)); deduping here touches only the small
+    # edge set instead of the full pair table
+    return scored.filter(F.col("is_match")).select("key_a", "key_b").distinct()
