@@ -150,6 +150,118 @@ def q_b14_compiled_model_tables(spark, sf_dir):
     )
 
 
+_B5_NORMALIZER_XML = """<tokenizer name="docnorm">
+<setting name="cs" value="0"/>
+<token to="" from="the"/>
+<token to="sluggish" from="slow"/>
+<split where="r" value="umn"/>
+</tokenizer>"""
+
+
+def q_b5_normalization(spark, sf_dir):
+    """B5/Q3: synonym/text normalization under a sic-style unit
+    (model.py:333-354): casefold + token removal + token rewrite +
+    right-anchored split, as an Arrow UDF over documents."""
+    from pilsner_spark.core.model import CompiledModel
+    from pilsner_spark.core.normalize import normalizer_from_xml_string
+    from pilsner_spark.operators.mentions import normalized_text_df
+
+    model = CompiledModel()
+    model.add_normalizer("docnorm", normalizer_from_xml_string(_B5_NORMALIZER_XML))
+    docs = _t(spark, sf_dir, "documents")
+    return normalized_text_df(docs, model).select("doc_id", "norm_text")
+
+
+def q_b17_label_delete(spark, sf_dir):
+    """B17: label delete (remove_node, utility.py:103-126): compile the
+    flagship dictionary, delete 'query', scan — its mentions disappear."""
+    from pilsner_spark.operators.mentions import extract_mentions_df
+
+    model = _flagship_model()
+    model.remove_label("query")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), F.lit(0).alias("turn_idx"), F.col("text")
+    )
+    mentions = extract_mentions_df(docs, model)
+    return (
+        mentions.select(F.col("conv_id").cast("bigint").alias("doc_id"), F.explode("entity_ids").alias("entity"))
+        .groupBy("doc_id", "entity")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
+def q_b18_stoplist_scan(spark, sf_dir):
+    """B18: stoplist (ignore_node, utility.py:128-149): 'join' is planted
+    with IGNORE so standalone hits are suppressed, while the longer
+    'hash join' entry still matches (golden behavior ut_utility.py:414-423)."""
+    from pilsner_spark.operators.mentions import extract_mentions_df
+
+    model = _flagship_model()
+    model.ignore_label("join")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), F.lit(0).alias("turn_idx"), F.col("text")
+    )
+    mentions = extract_mentions_df(docs, model)
+    return (
+        mentions.select(F.col("conv_id").cast("bigint").alias("doc_id"), F.explode("entity_ids").alias("entity"))
+        .groupBy("doc_id", "entity")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
+_ATTR_CATEGORIES = {
+    "table": "object",
+    "query": "op",
+    "join": "op",
+    "spark": "engine",
+    "data": "object",
+    "hash join": "op",
+}
+
+
+def _attr_model():
+    """Flagship vocabulary with a category attribute column (B7 melt +
+    Q6 attribute fetch)."""
+    from pilsner_spark.core.dictionary import compile_specs, fields_from_dicts, rows_from_lines
+    from pilsner_spark.core.model import CompiledModel
+    from pilsner_spark.core.normalize import BYPASS
+
+    fields = fields_from_dicts(
+        [
+            {"name": "entity_id", "include": True, "delimiter": None, "id_flag": True, "normalizer_flag": False, "value_flag": False},
+            {"name": "label", "include": True, "delimiter": None, "id_flag": False, "normalizer_flag": False, "value_flag": True},
+            {"name": "category", "include": True, "delimiter": None, "id_flag": False, "normalizer_flag": False, "value_flag": False},
+        ]
+    )
+    lines = [f"{w}\t{w}\t{c}" for w, c in _ATTR_CATEGORIES.items()]
+    rows = rows_from_lines(lines, compile_specs(fields))
+    model = CompiledModel()
+    model.add_normalizer("bypass", BYPASS)
+    return model.compile_rows(rows, include_keywords=False)
+
+
+def q_q6_attr_fetch(spark, sf_dir):
+    """Q6: per-match attribute fetch (unpack_attributes, utility.py:337-379):
+    mentions joined to the long attrs table (broadcast — dictionary side is
+    tiny), aggregated per (doc, attr_value)."""
+    from pilsner_spark.operators.mentions import extract_mentions_df
+
+    model = _attr_model()
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), F.lit(0).alias("turn_idx"), F.col("text")
+    )
+    mentions = extract_mentions_df(docs, model)
+    attrs = spark.createDataFrame(
+        model.to_tables()["attrs"], "n bigint, iid bigint, attr_name string, attr_value string"
+    ).filter(F.col("attr_name") == "category")
+    return (
+        mentions.select(F.col("conv_id").cast("bigint").alias("doc_id"), F.explode("line_ids").alias("n"))
+        .join(F.broadcast(attrs), "n")
+        .groupBy("doc_id", F.col("attr_value").alias("category"))
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
 def q_q2_semi_anti_filter(spark, sf_dir):
     """Q2: attrs_where include/exclude as semi/anti joins (utility.py:747-769):
     customers with an open order (include) and no F-status order (exclude)."""
@@ -440,8 +552,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b7_attribute_melt": q_b7_attribute_melt,
         "b12_keyword_collisions": q_b12_keyword_collisions,
         "b14_compiled_model_tables": q_b14_compiled_model_tables,
+        "b5_normalization": q_b5_normalization,
+        "b17_label_delete": q_b17_label_delete,
+        "b18_stoplist_scan": q_b18_stoplist_scan,
         "q2_semi_anti_filter": q_q2_semi_anti_filter,
         "q4_mention_scan": q_q4_mention_scan,
+        "q6_attr_fetch": q_q6_attr_fetch,
         "q9_argmax_ties": q_q9_argmax_ties,
         "q10_span_postprocess": q_q10_span_postprocess,
         "er_mentions": q_er_mentions,
@@ -504,29 +620,33 @@ with toks as (
 )
 """
 
-def _mention_oracle() -> str:
+def _mention_oracle(unigrams=("table", "query", "spark", "data"), with_join=True, entity_expr="entity") -> str:
     """Per-token occurrence counts with pilsner leftmost-longest semantics:
     a 'join' immediately after 'hash' is consumed by the longer 'hash join'
-    entry and must not count as a standalone 'join' mention."""
-    uni = "\nunion all\n".join(
+    entry and must not count as a standalone 'join' mention. ``with_join``
+    False models the stoplist/delete variants where standalone 'join' is
+    suppressed but 'hash join' still matches."""
+    branches = [
         f"select doc_id, '{w}' as entity, len([i for i in generate_series(1, len(ts)) if ts[i] = '{w}']) as n_mentions from toks"
-        for w in ["table", "query", "spark", "data"]
+        for w in unigrams
+    ]
+    if with_join:
+        branches.append(
+            "select doc_id, 'join' as entity, "
+            "len([i for i in generate_series(1, len(ts)) if ts[i] = 'join' and (i = 1 or ts[i-1] != 'hash')]) as n_mentions from toks"
+        )
+    branches.append(
+        "select doc_id, 'hash join' as entity, "
+        "len([i for i in generate_series(1, len(ts)-1) if ts[i] = 'hash' and ts[i+1] = 'join']) as n_mentions from toks"
     )
+    uni = "\nunion all\n".join(branches)
     return f"""
 with toks as (
   select doc_id, list_filter(string_split(text, ' '), x -> x != '') as ts from documents
 ), counted as (
   {uni}
-  union all
-  select doc_id, 'join' as entity,
-    len([i for i in generate_series(1, len(ts)) if ts[i] = 'join' and (i = 1 or ts[i-1] != 'hash')]) as n_mentions
-  from toks
-  union all
-  select doc_id, 'hash join' as entity,
-    len([i for i in generate_series(1, len(ts)-1) if ts[i] = 'hash' and ts[i+1] = 'join']) as n_mentions
-  from toks
 )
-select doc_id, entity, n_mentions from counted where n_mentions > 0
+select doc_id, {entity_expr}, n_mentions from counted where n_mentions > 0
 """
 
 
@@ -571,6 +691,23 @@ def oracle_sql() -> dict[str, str]:
             "and not exists (select 1 from orders o where o.o_custkey = c.c_custkey and o.o_orderstatus = 'F')"
         ),
         "q4_mention_scan": _mention_oracle(),
+        "b5_normalization": (
+            "with t as (select doc_id, list_filter(string_split(text, ' '), x -> x != '') as ts from documents), "
+            "r as (select doc_id, list_transform(list_transform(list_filter(ts, x -> x != 'the'), "
+            "x -> case when x = 'slow' then 'sluggish' else x end), "
+            "x -> case when x like '%umn' and length(x) > 3 then substr(x, 1, length(x) - 3) || ' umn' else x end) as ts2 from t) "
+            "select doc_id, array_to_string(ts2, ' ') as norm_text from r"
+        ),
+        "b17_label_delete": _mention_oracle(unigrams=("table", "spark", "data"), with_join=True),
+        "b18_stoplist_scan": _mention_oracle(with_join=False),
+        "q6_attr_fetch": (
+            "with m as ("
+            + _mention_oracle()
+            + "), cat(entity, category) as (values "
+            + ", ".join(f"('{w}', '{c}')" for w, c in _ATTR_CATEGORIES.items())
+            + ") select m.doc_id, cat.category, cast(sum(m.n_mentions) as bigint) as n_mentions "
+            "from m join cat using (entity) group by m.doc_id, cat.category"
+        ),
         "q9_argmax_ties": (
             "with counts as (select user_id, event_type, count(*) as n from events group by user_id, event_type) "
             "select user_id, event_type, n from (select *, rank() over (partition by user_id order by n desc) as r from counts) where r = 1"

@@ -141,3 +141,65 @@ def test_lineage_recorded(spark, transcripts, tmp_path):
     assert len(lineage["partitions"]) >= 1
     assert sum(p["rows"] for p in lineage["partitions"]) == lineage["rows"]
     assert "params_hash" in lineage and "schema" in lineage
+
+
+def test_score_pairs_broadcast_and_shuffle_paths_agree(spark):
+    """The broadcast path (keyed similarity UDF over a broadcast norm map)
+    and the shuffle path (norm columns joined per pair) must produce
+    identical scores — including JW/lev on undecided near-duplicate pairs."""
+    from pilsner_spark.operators.scoring import score_pairs, turn_features
+
+    rows = [
+        ("c1#0", "alpha beta gamma delta epsilon"),
+        ("c2#0", "alpha beta gamma delta epsilom"),  # near-dup: undecided, needs JW
+        ("c3#0", "totally different words here now"),
+        ("c4#0", "alpha beta gamma delta epsilon"),  # exact dup of c1#0
+    ]
+    turns = spark.createDataFrame(rows, "turn_key string, norm_text string")
+    me = spark.createDataFrame(
+        [("c3#0", ["e9"])], "turn_key string, mention_entities array<string>"
+    )
+    feats = turn_features(turns, me)
+    pairs = spark.createDataFrame(
+        [("c1#0", "c2#0"), ("c1#0", "c3#0"), ("c1#0", "c4#0")], "key_a string, key_b string"
+    )
+    out_b = {
+        (r["key_a"], r["key_b"]): r
+        for r in score_pairs(pairs, feats, broadcast_features=True).collect()
+    }
+    out_s = {
+        (r["key_a"], r["key_b"]): r
+        for r in score_pairs(pairs, feats, broadcast_features=False).collect()
+    }
+    assert set(out_b) == set(out_s) == {("c1#0", "c2#0"), ("c1#0", "c3#0"), ("c1#0", "c4#0")}
+    for k in out_b:
+        for col in ("shared_entity", "jaccard", "lev_ratio", "jw", "is_match"):
+            assert out_b[k][col] == pytest.approx(out_s[k][col]), (k, col)
+    near = out_b[("c1#0", "c2#0")]
+    assert 0.9 < near["jw"] < 1.0 and 0.9 < near["lev_ratio"] < 1.0  # JW/lev actually computed
+    assert near["is_match"]  # near-dup above both thresholds
+    assert out_b[("c1#0", "c4#0")]["is_match"]  # exact dup
+    assert not out_b[("c1#0", "c3#0")]["is_match"]
+
+
+def test_match_edges_dedupes_duplicate_pairs(spark):
+    from pilsner_spark.operators.scoring import match_edges
+
+    scored = spark.createDataFrame(
+        [("a", "b", True), ("a", "b", True), ("a", "c", False)],
+        "key_a string, key_b string, is_match boolean",
+    )
+    edges = match_edges(scored).collect()
+    assert [(r["key_a"], r["key_b"]) for r in edges] == [("a", "b")]
+
+
+def test_candidate_pairs_dedupe_flag(spark):
+    from pilsner_spark.operators.blocking import candidate_pairs
+
+    blocks = spark.createDataFrame(
+        [("t1", "b1"), ("t2", "b1"), ("t1", "b2"), ("t2", "b2")], "turn_key string, block_key string"
+    )
+    raw = candidate_pairs(blocks, dedupe=False).collect()
+    assert len(raw) == 2  # (t1,t2) via both shared keys
+    dd = candidate_pairs(blocks, dedupe=True).collect()
+    assert len(dd) == 1
