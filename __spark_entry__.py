@@ -380,9 +380,9 @@ def q_dedup_minhash_pairs(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    from pilsner_spark.operators.dedup import simhash
+    from pilsner_spark.operators.dedup import _spread_input, simhash
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread_input(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("simhash"))
 
 

@@ -16,6 +16,18 @@ from pyspark.sql import functions as F
 from pilsner_spark.functions.text import md5_long, tokens
 
 
+def _spread_input(df: DataFrame) -> DataFrame:
+    """Text tables compress so well that a byte-budget scan of one small
+    parquet file yields a single partition, serializing every expression-
+    heavy operator downstream (a 5k-doc signature computation measured 12s
+    on one core vs <2s spread). Repartitioning costs one narrow shuffle of
+    the raw rows — always cheaper than losing all parallelism."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups on the raw text: keeper id + group size.
     One shuffle (hash aggregation with map-side partial)."""
@@ -64,7 +76,7 @@ def minhash_bands(
     candidates. band_key folds band index + the band's minhashes."""
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, seed)
     n_bands = num_hashes // band_size
-    with_sig = df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    with_sig = _spread_input(df).select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
     bands = [
         F.concat_ws(
             "#",
@@ -76,13 +88,40 @@ def minhash_bands(
     return with_sig.select("doc_id", F.explode(F.array(*bands)).alias("band_key"))
 
 
+def _bucket_pairs(ids):
+    """Ordered (id_a < id_b) in-bucket pair expansion as JVM higher-order
+    functions over a sorted id array — no self-join, so the upstream
+    pipeline (signatures, shingles) is computed exactly once."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def minhash_candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Distinct candidate near-dup pairs from shared band keys."""
-    a, b = bands.alias("a"), bands.alias("b")
+    """Distinct candidate near-dup pairs from shared band keys.
+
+    Physical shape: ONE shuffle (groupBy band_key — the LSH bucketing),
+    then pair expansion inside each bucket via higher-order array
+    functions. The naive alternative — a band-key self-join — evaluates
+    the full signature pipeline twice (Catalyst does not materialize
+    common subtrees across a self-join) and shuffles both sides; measured
+    >2x slower at 5k docs and growing with the signature cost. Bucket
+    sizes are bounded by the band construction (same salting concern as
+    ER blocking if a band goes degenerate — cap upstream, not here)."""
+    buckets = (
+        bands.groupBy("band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(b, "band_key")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
@@ -117,21 +156,24 @@ def ngram_jaccard_pairs(
     max_shingle_df: int = 50,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard above threshold, computed relationally:
-    explode shingles -> self-join on shingle (DF-capped) -> intersection
-    counts -> Jaccard from set sizes. The exploded join is the scalable
-    formulation (no cross join); max_shingle_df caps hot shingles."""
-    sh = df.select(
+    explode shingles -> bucket by shingle (DF-capped) -> in-bucket pair
+    expansion -> intersection counts -> Jaccard from set sizes. Bucketing +
+    higher-order pair expansion computes the shingle pipeline once and
+    shuffles it once (a shingle self-join would do both twice); bucket
+    pair counts are bounded by max_shingle_df^2."""
+    sh = _spread_input(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh_f = sh.join(F.broadcast(df_counts.filter(F.col("df") <= max_shingle_df)), "shingle", "left_semi")
-    a, b = sh_f.alias("a"), sh_f.alias("b")
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_shingle_df))
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))
     )
     return (

@@ -44,6 +44,7 @@ def extract_mentions_df(
     attrs_where: Optional[dict] = None,
     text_col: str = "text",
     passthrough_cols: tuple = (),
+    spread: bool = True,
 ) -> DataFrame:
     """Scan every turn's text against the broadcast model.
 
@@ -51,8 +52,18 @@ def extract_mentions_df(
     pre-filter on the driver (before broadcast), which Catalyst-style pushes
     the work to where it is constant — per SURVEY.md §2.2 Q7 this yields the
     reference's accepted spans exactly.
+
+    ``spread``: text compresses well, so a byte-budget scan of a small
+    parquet file often yields a single input partition while the Python
+    scan kernel costs far more per row than the repartition that unlocks
+    every core — spread the input to full parallelism when it arrives
+    narrower (same reasoning as session.py's scan budget, one level up).
     """
     spark = df.sparkSession
+    if spread and not df.isStreaming:  # streaming plans cannot be inspected/repartitioned this way
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     filtered = model.filtered_matchers(attrs_where)
     if filtered is not model.matchers:
         import copy
@@ -96,11 +107,18 @@ def normalized_text_df(
     unit: Optional[str] = None,
     text_col: str = "text",
     out_col: str = "norm_text",
+    spread: bool = True,
 ) -> DataFrame:
     """Append the normalized form of ``text_col`` under one normalization
     unit (default: the model's default unit) — an Arrow-batched pandas UDF
-    over the pure normalization kernel."""
+    over the pure normalization kernel. ``spread`` as in
+    ``extract_mentions_df``: Python kernels must not inherit a single-
+    partition scan of a well-compressed text file."""
     spark = df.sparkSession
+    if spread and not df.isStreaming:  # streaming plans cannot be inspected/repartitioned this way
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     unit_name = unit or model.default_normalizer
     cfg = model.normalizers[unit_name]
     sep = model.word_separator
