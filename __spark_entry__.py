@@ -150,6 +150,30 @@ def q_b14_compiled_model_tables(spark, sf_dir):
     )
 
 
+def q_b13_distributed_compile(spark, sf_dir):
+    """B1-B5/B13: the distributed dictionary compile path (dictionary_io):
+    stable line ids -> dense first-seen internal ids (order from explicit
+    line numbers, never partition layout) -> per-row normalizer routing +
+    Arrow-UDF normalization. Dictionary derived from part (entity=p_brand,
+    synonym=p_type) so the oracle is exact."""
+    from pilsner_spark.core.normalize import normalizer_from_xml_string
+    from pilsner_spark.sources.dictionary_io import assign_internal_ids_df, normalize_synonyms_df
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.orderBy("p_partkey")
+    rows = part.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("line_id"),
+        F.col("p_brand").alias("entity_id"),
+        F.col("p_type").alias("synonym"),
+        F.lit(None).cast("string").alias("normalizer_tag"),
+    )
+    cf = normalizer_from_xml_string('<tokenizer name="cf"><setting name="cs" value="0"/></tokenizer>')
+    compiled = normalize_synonyms_df(assign_internal_ids_df(rows), {"cf": cf}, {"cf": "cf"}, "cf")
+    return compiled.select(
+        "line_id", "iid", "entity_id", F.col("unit").alias("normalizer"), "norm_label"
+    )
+
+
 _B5_NORMALIZER_XML = """<tokenizer name="docnorm">
 <setting name="cs" value="0"/>
 <token to="" from="the"/>
@@ -551,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b6_list_explode_distinct": q_b6_list_explode_distinct,
         "b7_attribute_melt": q_b7_attribute_melt,
         "b12_keyword_collisions": q_b12_keyword_collisions,
+        "b13_distributed_compile": q_b13_distributed_compile,
         "b14_compiled_model_tables": q_b14_compiled_model_tables,
         "b5_normalization": q_b5_normalization,
         "b17_label_delete": q_b17_label_delete,
@@ -679,6 +704,14 @@ def oracle_sql() -> dict[str, str]:
             "with toks as (select distinct source, unnest(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) as token from documents), "
             "shared as (select token from toks group by token having count(distinct source) > 1) "
             "select source, count(*) as n_shared_tokens from toks where token in (select token from shared) group by source"
+        ),
+        "b13_distributed_compile": (
+            "with rows as (select row_number() over (order by p_partkey) - 1 as line_id, "
+            "p_brand as entity_id, p_type as synonym from part), "
+            "firsts as (select entity_id, min(line_id) as first_line from rows group by entity_id), "
+            "iids as (select entity_id, dense_rank() over (order by first_line) - 1 as iid from firsts) "
+            "select r.line_id, i.iid, r.entity_id, 'cf' as normalizer, lower(r.synonym) as norm_label "
+            "from rows r join iids i using (entity_id)"
         ),
         "b14_compiled_model_tables": (
             "select * from (values "
