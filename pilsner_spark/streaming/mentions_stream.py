@@ -58,6 +58,55 @@ def windowed_entity_counts(
     )
 
 
+def incremental_cluster_assignments(
+    stream_df: DataFrame,
+    model: CompiledModel,
+    workdir: str,
+    checkpoint_dir: Optional[str] = None,
+):
+    """foreachBatch bridge between streaming ingestion and batch clustering.
+
+    Each micro-batch: extract mentions -> per-turn entity sets -> append to
+    the accumulated observation table -> recluster transitively over ALL
+    observations (turns sharing an entity, directly or through a chain,
+    share a cluster) -> overwrite the cluster table. Batch and streaming
+    share one storage layout (plain parquet under ``workdir``), so the
+    batch pipeline's consumers read the same tables.
+
+    Clustering uses the bipartite trick: edges (turn_key, entity-node) fed
+    to the same hash-to-min connected components as the batch path — a
+    turn-turn self-join per entity would square the hot entities instead.
+
+    Returns the StreamingQuery (caller awaits/stops it).
+    """
+    import os
+
+    from pilsner_spark.operators.blocking import with_turn_key
+    from pilsner_spark.operators.clustering import connected_components
+    from pilsner_spark.operators.mentions import turn_entities_df
+
+    obs_path = os.path.join(workdir, "stream_turn_entities")
+    clusters_path = os.path.join(workdir, "stream_entity_clusters")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        me = with_turn_key(turn_entities_df(extract_mentions_df(batch_df, model)))
+        me.select("turn_key", "mention_entities").write.mode("append").parquet(obs_path)
+        all_obs = spark.read.parquet(obs_path)
+        edges = all_obs.select(
+            F.col("turn_key").alias("key_a"), F.explode("mention_entities").alias("entity")
+        ).select("key_a", F.concat(F.lit("E#"), F.col("entity")).alias("key_b"))
+        comps = connected_components(edges).filter(~F.col("turn_key").startswith("E#"))
+        comps.write.mode("overwrite").parquet(clusters_path)
+
+    # foreachBatch consumes the RAW stream; mentions are derived inside the
+    # callback (the streaming plan's mention output is not reusable there).
+    writer = stream_df.writeStream.foreachBatch(process_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def run_availablenow_to_memory(stream_result: DataFrame, query_name: str):
     """Drain all currently-available input into an in-memory table —
     the test/bench harness for the streaming operators."""

@@ -101,3 +101,47 @@ def test_multimodal_frame_plan_and_partitioning(spark):
     for r in got:
         assert r["count"] == max(1, durations[r.media_id] // 1000)
     assert repartition_by_bytes(media, target_bytes_per_partition=100).rdd.getNumPartitions() >= 9
+
+
+def test_incremental_cluster_assignments(spark, model, tmp_path):
+    """foreachBatch incremental clustering: turns sharing an entity —
+    directly or transitively across micro-batches — land in one cluster,
+    and the observation table accumulates across restarts."""
+    from pilsner_spark.streaming.mentions_stream import incremental_cluster_assignments
+
+    src = str(tmp_path / "inc_in")
+    work = str(tmp_path / "inc_work")
+    ckpt = str(tmp_path / "inc_ckpt")
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+    def turn(conv, idx, text):
+        return (conv, idx, "user", text, "none", None)
+
+    # batch 1: two turns both mentioning entity1's surface
+    spark.createDataFrame(
+        [
+            turn("a", 0, "awesome white refrigerator here"),
+            turn("b", 0, "awwsome white refrigerator too"),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src)
+    q = incremental_cluster_assignments(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src), model, work, ckpt
+    )
+    q.awaitTermination(120)
+
+    # batch 2 (restart): a new turn with the same entity joins the cluster
+    spark.createDataFrame([turn("c", 0, "awesome white refrigerator again")], schema).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = incremental_cluster_assignments(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src), model, work, ckpt
+    )
+    q2.awaitTermination(120)
+
+    clusters = {
+        r["turn_key"]: r["cluster_id"]
+        for r in spark.read.parquet(f"{work}/stream_entity_clusters").collect()
+    }
+    assert set(clusters) == {"a#0", "b#0", "c#0"}
+    assert clusters["a#0"] == clusters["b#0"] == clusters["c#0"]
