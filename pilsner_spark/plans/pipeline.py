@@ -272,7 +272,7 @@ def main() -> None:
         "pairs_per_second": round(n_pairs / wall, 1),
         "f1_eval_seconds": round(eval_wall, 2),
         **scores,
-        "stages": {k: {kk: v[kk] for kk in ("rows", "wall_seconds", "resumed") if isinstance(v, dict) and kk in v} for k, v in result["metrics"].items()},
+        "stages": {k: {kk: v[kk] for kk in ("rows", "wall_seconds", "resumed", "count") if isinstance(v, dict) and kk in v} for k, v in result["metrics"].items()},
     }
     print(json.dumps(report))
     spark.stop()
