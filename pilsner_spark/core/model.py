@@ -192,6 +192,31 @@ class CompiledModel:
                 return False
         return True
 
+    def shard_matchers(self, n_shards: int) -> List[Dict[str, TokenIndexedMatcher]]:
+        """B10 — the reference's ``item_limit`` trie sharding
+        (utility.py:192-195), re-expressed for broadcast memory: split each
+        unit's matcher into ``n_shards`` independent matchers by a stable
+        hash of the label's first token, so a dictionary too large for one
+        broadcast ships as several smaller ones scanned per pass. Whole
+        first-token buckets move together (per-bucket longest-first order
+        preserved); the scan layer unions matches across shards before
+        span merge/reduction, exactly as the reference unions matches from
+        its multiple tries (utility.py:438-517 + flatten_layers)."""
+        import hashlib
+
+        shards: List[Dict[str, TokenIndexedMatcher]] = [
+            {unit: TokenIndexedMatcher(word_separator=self.word_separator) for unit in self.matchers}
+            for _ in range(n_shards)
+        ]
+        for unit, matcher in self.matchers.items():
+            for first_tok, bucket in matcher.index.items():
+                s = int(hashlib.md5(first_tok.encode("utf8")).hexdigest()[:8], 16) % n_shards
+                tgt = shards[s][unit]
+                tgt.index[first_tok] = bucket
+                for entry in bucket:
+                    tgt.by_label[entry.label] = entry
+        return shards
+
     def filtered_matchers(self, attrs_where: Optional[dict]) -> Dict[str, TokenIndexedMatcher]:
         """Matchers restricted to dictionary lines admitted by *attrs_where*
         (``{'+': {...}, '-': {...}}``, utility.py:741-766).

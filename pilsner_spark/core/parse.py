@@ -195,12 +195,24 @@ def _pipeline(
     text: str,
     attrs_where: Optional[dict],
     attrs_out: Optional[Sequence[str]],
+    matcher_shards: Optional[Sequence[dict]] = None,
 ) -> Tuple[List[MergedSpan], Dict[Tuple[int, int], Dict[str, Set[str]]], List[Tuple[int, int]]]:
+    """``matcher_shards``: B10 sharded scan — each unit scanned once per
+    shard, matches unioned into one layer before merge/disambiguation/
+    reduction (the reference's multi-trie union, utility.py:438-517).
+    Attribute prefilters apply to the dictionary BEFORE sharding, so the
+    two options are mutually exclusive here."""
+    if matcher_shards is not None and attrs_where:
+        raise ValueError("attrs_where must be applied before sharding the matchers")
     matchers = model.filtered_matchers(attrs_where)
     layers: List[Tuple[NormResult, list]] = []
     for unit, cfg in model.normalizers.items():  # insertion order == add order
         nr = normalize_with_map(text, cfg, model.word_separator)
-        layers.append((nr, matchers[unit].scan(nr.normalized)))
+        if matcher_shards is None:
+            scans = matchers[unit].scan(nr.normalized)
+        else:
+            scans = [m for shard in matcher_shards for m in shard[unit].scan(nr.normalized)]
+        layers.append((nr, scans))
     merged = merge_layers(model, layers, attrs_out)
     if model.has_keywords:
         merged = disambiguate(model, merged, [nr.normalized for nr, _ in layers])
@@ -227,10 +239,11 @@ def extract_mentions(
     text: str,
     attrs_where: Optional[dict] = None,
     attrs_out: Optional[Sequence[str]] = None,
+    matcher_shards: Optional[Sequence[dict]] = None,
 ) -> List[Mention]:
     """Entity mentions for the ER pipeline: surviving spans with resolved
     line/entity ids (post-disambiguation, post span reduction)."""
-    merged, _flat, kept = _pipeline(model, text, attrs_where, attrs_out)
+    merged, _flat, kept = _pipeline(model, text, attrs_where, attrs_out, matcher_shards)
     by_loc = {(m.begin, m.end): m for m in merged if m.ids}
     out: List[Mention] = []
     for loc in sorted(kept):

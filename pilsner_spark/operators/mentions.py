@@ -45,6 +45,7 @@ def extract_mentions_df(
     text_col: str = "text",
     passthrough_cols: tuple = (),
     spread: bool = True,
+    n_matcher_shards: Optional[int] = None,
 ) -> DataFrame:
     """Scan every turn's text against the broadcast model.
 
@@ -70,6 +71,20 @@ def extract_mentions_df(
 
         model = copy.copy(model)
         model.matchers = filtered
+    # B10 sharded broadcast: for dictionaries too big for one broadcast,
+    # the matchers ship as n separate broadcasts (attr prefilter above
+    # already applied) and the main model ships matcher-free; the kernel
+    # unions per-shard scans before span merge (reference multi-trie
+    # semantics, utility.py:438-517).
+    shard_bcs = None
+    if n_matcher_shards and n_matcher_shards > 1:
+        import copy
+
+        shard_bcs = [
+            spark.sparkContext.broadcast(s) for s in model.shard_matchers(n_matcher_shards)
+        ]
+        model = copy.copy(model)
+        model.matchers = {}
     bc = spark.sparkContext.broadcast(model)
     base_cols = ("conv_id", "turn_idx", "begin", "end", "matched_text", "line_ids", "iids", "entity_ids")
     extra = tuple(passthrough_cols)
@@ -79,13 +94,14 @@ def extract_mentions_df(
 
     def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = bc.value
+        shards = None if shard_bcs is None else [b.value for b in shard_bcs]
         for pdf in batches:
             rows = {k: [] for k in base_cols + extra}
             extra_vals = [pdf[c] for c in extra]
             for i, (conv_id, turn_idx, text) in enumerate(zip(pdf["conv_id"], pdf["turn_idx"], pdf[text_col])):
                 if not text:
                     continue
-                for mention in extract_mentions(m, text):
+                for mention in extract_mentions(m, text, matcher_shards=shards):
                     rows["conv_id"].append(conv_id)
                     rows["turn_idx"].append(turn_idx)
                     rows["begin"].append(mention.begin)

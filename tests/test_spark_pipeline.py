@@ -203,3 +203,29 @@ def test_candidate_pairs_dedupe_flag(spark):
     assert len(raw) == 2  # (t1,t2) via both shared keys
     dd = candidate_pairs(blocks, dedupe=True).collect()
     assert len(dd) == 1
+
+
+def test_sharded_matcher_broadcast_parity(spark, model, transcripts):
+    """B10 (item_limit sharding) as sharded broadcasts: mention extraction
+    with the dictionary split across 3 matcher shards must equal the
+    single-broadcast result — on the golden parse string and on a corpus
+    slice (union-of-shards scan feeds the same merge/reduce pipeline)."""
+    from pilsner_spark.core.parse import extract_mentions
+
+    text = "this is awwsome white refrigerator o refrigerator, is it tors not conflicting refrigerator hey"
+    shards = model.shard_matchers(3)
+    single = [(m.begin, m.end, m.entity_ids) for m in extract_mentions(model, text)]
+    sharded = [
+        (m.begin, m.end, m.entity_ids)
+        for m in extract_mentions(model, text, matcher_shards=shards)
+    ]
+    assert single == sharded
+
+    sample = transcripts.limit(200)
+    plain = extract_mentions_df(sample, model).orderBy("conv_id", "turn_idx", "begin")
+    shard3 = extract_mentions_df(sample, model, n_matcher_shards=3).orderBy(
+        "conv_id", "turn_idx", "begin"
+    )
+    a = [(r.conv_id, r.turn_idx, r.begin, r.end, tuple(r.entity_ids)) for r in plain.collect()]
+    b = [(r.conv_id, r.turn_idx, r.begin, r.end, tuple(r.entity_ids)) for r in shard3.collect()]
+    assert a == b and len(a) > 0
