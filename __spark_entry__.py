@@ -417,9 +417,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
+    """Threshold 0.4 chosen so the oracle verifies nonzero pairs on the
+    synthetic embeddings (0.8 matched zero rows at every sf — a vacuously
+    green check)."""
     from pilsner_spark.operators.dedup import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.8)
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 # -- ANN ---------------------------------------------------------------------
@@ -751,7 +754,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_bands": _MINHASH_CTE + "select doc_id, band_key from bands",
         "dedup_minhash_pairs": _MINHASH_CTE
         + (
-            "select distinct a.doc_id as id_a, b.doc_id as id_b from bands a join bands b using (band_key) "
+            # mirrors minhash_candidate_pairs' max_bucket_size=200 cap
+            ", ok_bands as (select band_key from bands group by band_key having count(distinct doc_id) <= 200) "
+            "select distinct a.doc_id as id_a, b.doc_id as id_b "
+            "from bands a join bands b using (band_key) join ok_bands using (band_key) "
             "where a.doc_id < b.doc_id"
         ),
         "dedup_simhash": (
@@ -773,7 +779,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": (
             "select a.vec_id as id_a, b.vec_id as id_b, round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) as cosine "
             "from embeddings a, embeddings b where a.vec_id < b.vec_id "
-            "and round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) >= 0.8"
+            "and round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) >= 0.4"
         ),
         "ann_brute_topk": (
             "with scored as (select q.vec_id as query_id, v.vec_id as neighbor_id, "

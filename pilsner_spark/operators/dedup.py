@@ -21,7 +21,11 @@ def _spread_input(df: DataFrame) -> DataFrame:
     parquet file yields a single partition, serializing every expression-
     heavy operator downstream (a 5k-doc signature computation measured 12s
     on one core vs <2s spread). Repartitioning costs one narrow shuffle of
-    the raw rows — always cheaper than losing all parallelism."""
+    the raw rows — always cheaper than losing all parallelism. Streaming
+    DataFrames pass through untouched (micro-batch sizing is the streaming
+    engine's job, and ``df.rdd`` is illegal on a streaming plan)."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -103,7 +107,7 @@ def _bucket_pairs(ids):
     )
 
 
-def minhash_candidate_pairs(bands: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(bands: DataFrame, max_bucket_size: int = 200) -> DataFrame:
     """Distinct candidate near-dup pairs from shared band keys.
 
     Physical shape: ONE shuffle (groupBy band_key — the LSH bucketing),
@@ -111,18 +115,37 @@ def minhash_candidate_pairs(bands: DataFrame) -> DataFrame:
     functions. The naive alternative — a band-key self-join — evaluates
     the full signature pipeline twice (Catalyst does not materialize
     common subtrees across a self-join) and shuffles both sides; measured
-    >2x slower at 5k docs and growing with the signature cost. Bucket
-    sizes are bounded by the band construction (same salting concern as
-    ER blocking if a band goes degenerate — cap upstream, not here)."""
+    >2x slower at 5k docs and growing with the signature cost.
+
+    ``max_bucket_size`` bounds every bucket: a degenerate band key (the
+    normal case in web-scale dedup — millions of identical boilerplate
+    docs land in one band) would otherwise build one multi-million-element
+    array row and O(n^2) pairs. Buckets above the cap are DROPPED from
+    pair expansion — near-dup membership for those docs is already proven
+    by exact dedup (identical boilerplate hashes equal), so candidate
+    pairs from a saturated band add no information. The drop is never
+    silent: use ``oversized_band_report`` for the per-key sizes, same
+    treatment as blocking.salt_oversized_blocks."""
     buckets = (
         bands.groupBy("band_key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
     )
     return (
         buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
+    )
+
+
+def oversized_band_report(bands: DataFrame, max_bucket_size: int = 200) -> DataFrame:
+    """Band keys whose bucket exceeds ``max_bucket_size`` (and were dropped
+    by minhash_candidate_pairs), with their sizes — the no-silent-truncation
+    companion, mirroring blocking.salt_oversized_blocks' report."""
+    return (
+        bands.groupBy("band_key")
+        .agg(F.countDistinct("doc_id").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
     )
 
 

@@ -114,7 +114,7 @@ def run_er_pipeline(
     def spread(df: DataFrame, rows: int, rows_per_task: int = 1_000_000) -> DataFrame:
         """Row-budget repartition after a checkpoint read — for tables so
         small/compressed that even the lowered scan budget (session.py:
-        maxPartitionBytes=16MB) yields fewer partitions than cores (e.g.
+        SPARK_GRAFT_MAX_PARTITION_BYTES, 8MB) yields fewer partitions than cores (e.g.
         the block table: ~5 bytes/row). The shuffle moves only MBs. Large
         row-dense tables (the pair table) do NOT come through here: their
         scan already parallelizes under the 16MB budget, and a repartition

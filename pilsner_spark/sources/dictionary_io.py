@@ -47,8 +47,18 @@ def read_dictionary_file(
     """
     field_specs = fields_from_dicts(fields) if fields and isinstance(fields[0], dict) else list(fields)
     specs: DictSpecs = compile_specs(field_specs)
-    lines = spark.read.text(path).rdd.zipWithIndex().map(lambda r: (r[1], r[0].value))
-    raw = spark.createDataFrame(lines, "line_id bigint, value string")
+    # Stable line numbers without leaving the DataFrame API (input_hint:
+    # no per-row Python): monotonically_increasing_id encodes the scan
+    # partition index in its high bits and text-file scan partitions are
+    # ordered by (file, byte offset), so ordering by it reproduces file
+    # order; row_number densifies it. The global window runs over the
+    # dictionary only — small by construction (labels, not corpus).
+    raw = (
+        spark.read.text(path)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("line_id", F.row_number().over(Window.orderBy("_mid")) - 1)
+        .select(F.col("line_id").cast("bigint"), "value")
+    )
     cells = F.split(F.col("value"), column_separator)
     cols = [F.col("line_id")]
     for name, (idx, _delim, _n, _v) in specs.fields.items():

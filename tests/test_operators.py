@@ -44,6 +44,28 @@ def test_minhash_near_dup(spark, docs):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_minhash_bucket_cap_degenerate_corpus(spark):
+    """Web-scale normal case: thousands of identical boilerplate docs land
+    in one LSH bucket per band. The cap must bound pair expansion (no O(n^2)
+    blowup) and the drop must be visible, while under-cap near-dup buckets
+    still produce their pairs."""
+    from pilsner_spark.operators.dedup import oversized_band_report
+
+    boiler = [(i, "identical boilerplate footer text repeated across the whole crawl segment") for i in range(1000)]
+    near = [
+        (2000, "a genuinely unique article about shuffle partitioning in spark clusters"),
+        (2001, "a genuinely unique article about shuffle partitioning in spark cluster"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id bigint, text string")
+    bands = minhash_bands(df, num_hashes=6, band_size=2)
+    pairs = {(r.id_a, r.id_b) for r in minhash_candidate_pairs(bands, max_bucket_size=200).collect()}
+    assert (2000, 2001) in pairs  # under-cap bucket still pairs
+    assert all(a >= 2000 for a, _ in pairs)  # saturated boilerplate buckets dropped, not expanded
+    report = oversized_band_report(bands, max_bucket_size=200).collect()
+    assert len(report) == 3  # all 3 boilerplate bands reported
+    assert all(r.bucket_size == 1000 for r in report)
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
     assert pairs[(0, 3)] == 1.0
