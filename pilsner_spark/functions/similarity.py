@@ -71,50 +71,6 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
-def levenshtein(s1: str, s2: str) -> int:
-    """Plain edit distance (two-row DP) — Python-side twin of
-    ``F.levenshtein`` for kernels that already run in a pandas UDF."""
-    if s1 == s2:
-        return 0
-    if len(s1) < len(s2):
-        s1, s2 = s2, s1
-    if not s2:
-        return len(s1)
-    prev = list(range(len(s2) + 1))
-    for i, c1 in enumerate(s1):
-        cur = [i + 1]
-        for j, c2 in enumerate(s2):
-            cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (c1 != c2)))
-        prev = cur
-    return prev[-1]
-
-
-def make_keyed_similarity_udf(norms_broadcast):
-    """Jaro-Winkler + Levenshtein-ratio keyed by turn id: the pair join
-    then carries only keys and fixed-width arrays, never the normalized
-    text — at |pairs| >> |turns| the dominant scoring cost is copying the
-    joined feature payload per pair, so the O(|turns|) text map rides a
-    Spark broadcast into the UDF instead. Null keys (decided rows, masked
-    by the caller) short-circuit. Returns struct<jw double, lev double>."""
-
-    @F.pandas_udf("jw double, lev double")
-    def keyed_similarity(key_a: pd.Series, key_b: pd.Series) -> pd.DataFrame:
-        norms = norms_broadcast.value
-        jw_out, lev_out = [], []
-        for ka, kb in zip(key_a, key_b):
-            if ka is None or kb is None:
-                jw_out.append(None)
-                lev_out.append(None)
-                continue
-            a, b = norms.get(ka, ""), norms.get(kb, "")
-            jw_out.append(jaro_winkler(a, b))
-            denom = max(len(a), len(b))
-            lev_out.append(1.0 if denom == 0 else 1.0 - levenshtein(a, b) / denom)
-        return pd.DataFrame({"jw": pd.Series(jw_out, dtype="float64"), "lev": pd.Series(lev_out, dtype="float64")})
-
-    return keyed_similarity
-
-
 def levenshtein_ratio(a: Column, b: Column) -> Column:
     """Normalized Levenshtein similarity in [0, 1], JVM-side."""
     denom = F.greatest(F.length(a), F.length(b))

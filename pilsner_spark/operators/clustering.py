@@ -8,8 +8,16 @@ neighborhood (including itself); convergence when no label changes.
 this converges in a handful of rounds; worst case is the longest path graph,
 bounded by ``max_iter``.
 
-Vertex ids are xxhash64 of the turn key (stable, collision-checked at the
-string/id mapping join); cluster ids are the component-minimum vertex id.
+The label domain is the ``turn_key`` STRING itself, not a 64-bit hash of
+it: at the 10^12-turn design point the birthday bound puts expected
+xxhash64 collisions in the tens of thousands, and every collision silently
+merges two unrelated turns (and, transitively, their clusters). String
+labels are collision-free by construction and make cluster ids
+deterministic and meaningful (the lexicographic-minimum member key). The
+cost is wider shuffle rows in the label-propagation loop (~25 B vs 8 B) —
+a constant factor on the smallest tables in the pipeline (vertices and
+edges, both O(matches), dwarfed by the pair table upstream) — and it
+removes two mapping joins the hashed-id version needed.
 """
 
 from __future__ import annotations
@@ -19,28 +27,17 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
-    """edges: (key_a, key_b) string pairs. Returns (turn_key, cluster_id).
+    """edges: (key_a, key_b) string pairs. Returns (turn_key, cluster_id)
+    where cluster_id is the component's minimum turn_key.
 
     Singleton vertices (no edges) are not returned; callers union them back
     with their own key as cluster id.
     """
-    spark = edges.sparkSession
-    vmap = (
-        edges.select(F.col("key_a").alias("turn_key"))
-        .union(edges.select("key_b"))
-        .distinct()
-        .withColumn("vid", F.xxhash64("turn_key"))
-    ).localCheckpoint()
-
-    e = (
-        edges.join(vmap.withColumnRenamed("turn_key", "key_a").withColumnRenamed("vid", "src"), "key_a")
-        .join(vmap.withColumnRenamed("turn_key", "key_b").withColumnRenamed("vid", "dst"), "key_b")
-        .select("src", "dst")
-    )
+    e = edges.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
     # undirected: keep both directions for the neighbor-min aggregation
     adj = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().localCheckpoint()
 
-    labels = vmap.select(F.col("vid"), F.col("vid").alias("label"))
+    labels = adj.select(F.col("src").alias("vid")).distinct().withColumn("label", F.col("vid"))
     for _ in range(max_iter):
         nbr_min = (
             adj.join(labels, adj.dst == labels.vid)
@@ -59,15 +56,15 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels.select("vid", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    return labels.join(vmap, "vid").select("turn_key", F.col("label").alias("cluster_id"))
+    return labels.select(F.col("vid").alias("turn_key"), F.col("label").alias("cluster_id"))
 
 
 def cluster_turns(all_turns: DataFrame, edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """Full clustering output: every turn gets a cluster id; turns outside
-    any match edge become singletons keyed by their own vertex id."""
+    any match edge become singletons keyed by their own turn_key."""
     comp = connected_components(edges, max_iter=max_iter)
     return (
         all_turns.select("turn_key")
         .join(comp, "turn_key", "left")
-        .withColumn("cluster_id", F.coalesce("cluster_id", F.xxhash64("turn_key")))
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("turn_key")))
     )

@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 from pilsner_spark.functions.similarity import (
     jaro_winkler_udf,
     levenshtein_ratio,
-    make_keyed_similarity_udf,
     token_jaccard,
 )
 from pilsner_spark.operators.blocking import tokens_col
@@ -56,8 +55,12 @@ def score_pairs(
     ``is_match``.
 
     Decision rule: a shared dictionary entity is a match; otherwise high
-    textual similarity (near-duplicate turns) matches. Thresholds are
-    engine parameters surfaced in pipeline params/lineage.
+    textual similarity (near-duplicate turns) matches — UNLESS both sides
+    resolved to disjoint entity sets (``conflicting_entities``), which
+    vetoes the similarity match: on template-heavy corpora (same
+    boilerplate around different product names) similarity alone would
+    merge distinct entities. Thresholds are engine parameters surfaced in
+    pipeline params/lineage.
     """
     # Join payload: keys + fixed-width token hashes + entity sets ONLY.
     # The normalized text is deliberately NOT joined: at |pairs| >>
@@ -88,6 +91,14 @@ def score_pairs(
     scored = (
         pairs.join(fa, "key_a").join(fb, "key_b")
         .withColumn("shared_entity", F.arrays_overlap("entities_a", "entities_b"))
+        # both sides resolved by the dictionary, to DISJOINT entity sets:
+        # the strongest negative signal available — two near-identical
+        # turns mentioning different entities (same template, different
+        # product name) must not be merged on text similarity alone
+        .withColumn(
+            "conflicting_entities",
+            (F.size("entities_a") > 0) & (F.size("entities_b") > 0) & ~F.col("shared_entity"),
+        )
         .withColumn("jaccard", token_jaccard(F.col("htokens_a"), F.col("htokens_b")))
     )
     # Levenshtein (O(len^2)) and Jaro-Winkler are the expensive features:
@@ -98,45 +109,52 @@ def score_pairs(
     # that evaluates the UDF for EVERY input row before the conditional
     # projection (measured 10x+ stage slowdown at 5M pairs with <0.001%
     # undecided). Masking the UDF *inputs* instead keeps one join pass
-    # while the character-level work runs only on genuinely undecided
-    # rows — null keys short-circuit in the kernel; the normalized text
-    # itself reaches the kernel via a broadcast map keyed by turn id.
+    # while the character-level work runs only on genuinely undecided rows.
     undecided = ~F.col("shared_entity") & (F.col("jaccard") >= jaccard_threshold * 0.5)
-    mask = lambda c: F.when(undecided, F.col(c))  # noqa: E731
     if broadcast_features:
-        norms = {
-            r["turn_key"]: r["norm_text"]
-            for r in features.select("turn_key", "norm_text").collect()
-        }
-        sim_udf = make_keyed_similarity_udf(pairs.sparkSession.sparkContext.broadcast(norms))
+        # Fetch norm_text for undecided rows only, via two more broadcast
+        # hash joins keyed on the MASKED keys (null key -> no match -> null
+        # norm). The norm table stays executor-side the whole way — no
+        # driver collect, no per-Python-worker copy of a broadcast dict
+        # (the previous design collected O(turns) text through the driver
+        # and unpickled it once per UDF worker). Decided rows join nothing,
+        # so the expensive-feature columns stay null exactly where the
+        # masking wants them.
+        norms_a = F.broadcast(
+            features.select(F.col("turn_key").alias("_nk_a"), F.col("norm_text").alias("norm_a"))
+        )
+        norms_b = F.broadcast(
+            features.select(F.col("turn_key").alias("_nk_b"), F.col("norm_text").alias("norm_b"))
+        )
         scored = (
-            scored.withColumn("_sim", sim_udf(mask("key_a"), mask("key_b")))
-            .withColumns(
-                {
-                    "lev_ratio": F.coalesce(F.col("_sim.lev"), F.lit(0.0)),
-                    "jw": F.coalesce(F.col("_sim.jw"), F.lit(0.0)),
-                }
-            )
-            .drop("_sim")
+            scored.withColumn("_uk_a", F.when(undecided, F.col("key_a")))
+            .withColumn("_uk_b", F.when(undecided, F.col("key_b")))
+            .join(norms_a, F.col("_uk_a") == F.col("_nk_a"), "left")
+            .join(norms_b, F.col("_uk_b") == F.col("_nk_b"), "left")
+            .drop("_uk_a", "_uk_b", "_nk_a", "_nk_b")
         )
+        mask = lambda c: F.col(c)  # noqa: E731 — masking already applied by the joins
     else:
-        scored = scored.withColumns(
-            {
-                "lev_ratio": F.coalesce(
-                    F.when(undecided, levenshtein_ratio(F.col("norm_a"), F.col("norm_b"))),
-                    F.lit(0.0),
-                ),
-                "jw": F.coalesce(
-                    jaro_winkler_udf(mask("norm_a"), mask("norm_b")), F.lit(0.0)
-                ),
-            }
-        )
+        mask = lambda c: F.when(undecided, F.col(c))  # noqa: E731
+    scored = scored.withColumns(
+        {
+            "lev_ratio": F.coalesce(
+                F.when(undecided, levenshtein_ratio(mask("norm_a"), mask("norm_b"))),
+                F.lit(0.0),
+            ),
+            "jw": F.coalesce(jaro_winkler_udf(mask("norm_a"), mask("norm_b")), F.lit(0.0)),
+        }
+    )
     return scored.withColumn(
         "is_match",
         F.col("shared_entity")
-        | ((F.col("jw") >= jw_threshold) & (F.col("jaccard") >= jaccard_threshold)),
+        | (
+            ~F.col("conflicting_entities")
+            & (F.col("jw") >= jw_threshold)
+            & (F.col("jaccard") >= jaccard_threshold)
+        ),
     ).select(
-        "key_a", "key_b", "shared_entity", "jaccard", "lev_ratio", "jw", "is_match"
+        "key_a", "key_b", "shared_entity", "conflicting_entities", "jaccard", "lev_ratio", "jw", "is_match"
     )
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from pilsner_spark.operators.blocking import (
     candidate_pairs,
+    minhash_blocks,
     salt_oversized_blocks,
     token_blocks,
     with_turn_key,
@@ -78,8 +79,20 @@ def run_er_pipeline(
     jw_threshold: float = 0.92,
     jaccard_threshold: float = 0.6,
     broadcast_row_limit: int = 2_000_000,
+    broadcast_block_bytes: int = 512 << 20,
+    use_minhash_blocks: bool = True,
+    minhash_num_hashes: int = 16,
+    minhash_band_size: int = 2,
 ) -> Dict[str, object]:
     """Full ER run over a transcripts DataFrame (input_hint schema).
+
+    Blocking is the union of the two north_star keys: shared normalized
+    token x (tool, role) — the recall workhorse and the F1-gate key — and
+    MinHash band x (tool, role) over the normalized token set
+    (``use_minhash_blocks``), which catches near-duplicate turns whose
+    shared tokens were DF-capped away (``max_token_df``) and adds a second,
+    structurally different candidate source. Both go through the same
+    salting; the oversized-key report covers both key families.
 
     Returns {'clusters': DataFrame, 'metrics': dict, 'pipeline': Pipeline}.
     """
@@ -90,6 +103,9 @@ def run_er_pipeline(
         "max_token_df": max_token_df,
         "jw_threshold": jw_threshold,
         "jaccard_threshold": jaccard_threshold,
+        "use_minhash_blocks": use_minhash_blocks,
+        "minhash_num_hashes": minhash_num_hashes,
+        "minhash_band_size": minhash_band_size,
         "model": model.config_json(),
     }
     pipe = Pipeline(spark, workdir, params)
@@ -106,9 +122,22 @@ def run_er_pipeline(
 
     def build_blocks() -> DataFrame:
         blocks = token_blocks(turns, max_df=max_token_df)
+        if use_minhash_blocks:
+            blocks = blocks.unionByName(
+                minhash_blocks(turns, num_hashes=minhash_num_hashes, band_size=minhash_band_size)
+            )
         salted, oversized = salt_oversized_blocks(blocks, max_block_size, salt_buckets)
-        n_oversized = oversized.count()
-        pipe.metrics["blocking_salted_keys"] = {"count": int(n_oversized)}
+        # one aggregation job for the no-silent-truncation report, split by
+        # key family so band-key skew is visible separately from token skew
+        counts = oversized.agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col("block_key").startswith("mh"), 1).otherwise(0)).alias("band"),
+        ).collect()[0]
+        pipe.metrics["blocking_salted_keys"] = {
+            "count": int(counts["total"] or 0),
+            "band_keys": int(counts["band"] or 0),
+            "token_keys": int((counts["total"] or 0) - (counts["band"] or 0)),
+        }
         return salted
 
     def spread(df: DataFrame, rows: int, rows_per_task: int = 1_000_000) -> DataFrame:
@@ -130,7 +159,12 @@ def run_er_pipeline(
     n_turns = int((pipe.metrics.get("turns_normalized") or {}).get("rows") or 0)
     n_blocks = int((pipe.metrics.get("blocks") or {}).get("rows") or 0)
     bcast_feats = 0 < n_turns <= broadcast_row_limit
-    bcast_blocks = 0 < n_blocks <= 10 * broadcast_row_limit
+    # An explicit F.broadcast hint bypasses autoBroadcastJoinThreshold AND
+    # Spark's sanity checks until the 8 GB hard limit, so gate on estimated
+    # bytes, not a row multiplier: a block row is two short strings
+    # (turn_key ~14 B + block_key ~30 B) that a JVM hash relation roughly
+    # doubles — call it 96 B/row built. Default cap 512 MB ≈ 5.6M rows.
+    bcast_blocks = 0 < n_blocks * 96 <= broadcast_block_bytes
     pairs = pipe.stage(
         "candidate_pairs",
         lambda: candidate_pairs(
@@ -155,16 +189,28 @@ def run_er_pipeline(
     return {"clusters": clusters, "scored": scored, "metrics": pipe.metrics, "pipeline": pipe}
 
 
-def evaluate_f1(scored: DataFrame, clusters: DataFrame, truth: DataFrame) -> Dict[str, float]:
+def evaluate_f1(scored: DataFrame, clusters: DataFrame, truth: DataFrame) -> Dict[str, object]:
     """Pairwise F1 on labeled pairs *at the same blocking key*: the labeled
     pairs are the candidate pairs whose two turns both carry planted ground
     truth (FIXTURES.md §5); a pair is predicted positive when the two turns
-    land in the same cluster."""
-    t = with_turn_key(truth).select("turn_key", "planted_entity")
+    land in the same cluster.
+
+    When the corpus carries ``plant_style`` (hard-slice corpora, synth.py),
+    a ``hard_slice`` sub-report covers the pairs with at least one
+    hard-slice side (typo / typo_clean / hard_neg) — the pairs that the
+    similarity features and the conflicting-entities veto must decide."""
+    has_styles = "plant_style" in truth.columns
+    t_cols = ["turn_key", "planted_entity"] + (["plant_style"] if has_styles else [])
+    t = with_turn_key(truth).select(*t_cols)
+
+    def side(suffix: str) -> DataFrame:
+        renames = {"turn_key": f"key_{suffix}", "planted_entity": f"entity_{suffix}", "plant_style": f"style_{suffix}"}
+        return t.select(*[F.col(c).alias(renames[c]) for c in t_cols])
+
     labeled = (
         scored.select("key_a", "key_b").dropDuplicates(["key_a", "key_b"])
-        .join(t.withColumnRenamed("turn_key", "key_a").withColumnRenamed("planted_entity", "entity_a"), "key_a")
-        .join(t.withColumnRenamed("turn_key", "key_b").withColumnRenamed("planted_entity", "entity_b"), "key_b")
+        .join(side("a"), "key_a")
+        .join(side("b"), "key_b")
         .filter(F.col("entity_a").isNotNull() & F.col("entity_b").isNotNull())
         .withColumn("same_entity", F.col("entity_a") == F.col("entity_b"))
     )
@@ -174,37 +220,62 @@ def evaluate_f1(scored: DataFrame, clusters: DataFrame, truth: DataFrame) -> Dic
         .join(c.withColumnRenamed("turn_key", "key_b").withColumnRenamed("cluster_id", "cluster_b"), "key_b")
         .withColumn("predicted", F.col("cluster_a") == F.col("cluster_b"))
     )
-    agg = predicted.agg(
-        F.sum(F.when(F.col("predicted") & F.col("same_entity"), 1).otherwise(0)).alias("tp"),
-        F.sum(F.when(F.col("predicted") & ~F.col("same_entity"), 1).otherwise(0)).alias("fp"),
-        F.sum(F.when(~F.col("predicted") & F.col("same_entity"), 1).otherwise(0)).alias("fn"),
-        F.count("*").alias("pairs"),
-    ).collect()[0]
-    tp, fp, fn = agg["tp"] or 0, agg["fp"] or 0, agg["fn"] or 0
-    precision = tp / (tp + fp) if tp + fp else 1.0
-    recall = tp / (tp + fn) if tp + fn else 1.0
-    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
-    return {
-        "tp": int(tp),
-        "fp": int(fp),
-        "fn": int(fn),
-        "labeled_pairs": int(agg["pairs"]),
-        "precision": round(precision, 6),
-        "recall": round(recall, 6),
-        "f1": round(f1, 6),
-    }
+    if has_styles:
+        hard = F.col("style_a").isin("typo", "typo_clean", "hard_neg") | F.col(
+            "style_b"
+        ).isin("typo", "typo_clean", "hard_neg")
+        predicted = predicted.withColumn("hard", hard)
+    else:
+        predicted = predicted.withColumn("hard", F.lit(False))
+
+    def counts(pred: F.Column, truth_pos: F.Column, within: F.Column):
+        return [
+            F.sum(F.when(within & pred & truth_pos, 1).otherwise(0)),
+            F.sum(F.when(within & pred & ~truth_pos, 1).otherwise(0)),
+            F.sum(F.when(within & ~pred & truth_pos, 1).otherwise(0)),
+            F.sum(F.when(within, 1).otherwise(0)),
+        ]
+    # one aggregation job covers overall + hard slice
+    aggs = counts(F.col("predicted"), F.col("same_entity"), F.lit(True)) + counts(
+        F.col("predicted"), F.col("same_entity"), F.col("hard")
+    )
+    row = predicted.agg(*aggs).collect()[0]
+
+    def report(tp, fp, fn, pairs) -> Dict[str, object]:
+        tp, fp, fn = tp or 0, fp or 0, fn or 0
+        precision = tp / (tp + fp) if tp + fp else 1.0
+        recall = tp / (tp + fn) if tp + fn else 1.0
+        f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+        return {
+            "tp": int(tp),
+            "fp": int(fp),
+            "fn": int(fn),
+            "labeled_pairs": int(pairs or 0),
+            "precision": round(precision, 6),
+            "recall": round(recall, 6),
+            "f1": round(f1, 6),
+        }
+
+    out = report(row[0], row[1], row[2], row[3])
+    if has_styles:
+        out["hard_slice"] = report(row[4], row[5], row[6], row[7])
+    return out
 
 
-def build_corpus(spark, n_convs: int, seed: int, dictionary: str, n_entities: int):
+def build_corpus(spark, n_convs: int, seed: int, dictionary: str, n_entities: int, hard_every: Optional[int] = None):
     """Corpus + model for a pipeline run. 'sample' = the pilsner test-suite
     dictionary (golden F1, hot 2-entity blocks — the skew stress case);
     'synthetic' = n_entities unambiguous entities (throughput shape of the
-    reference's performance harness)."""
+    reference's performance harness). ``hard_every`` plants the hard slice
+    (template hard negatives + typo positives; synth.synth_transcripts)."""
     from pilsner_spark.sources.sample_dictionary import build_sample_model
     from pilsner_spark.sources.synth import synthetic_plants
 
     if dictionary == "sample":
-        return synth_transcripts(spark, n_convs=n_convs, seed=seed, plants=SAMPLE_PLANTS), build_sample_model()
+        return (
+            synth_transcripts(spark, n_convs=n_convs, seed=seed, plants=SAMPLE_PLANTS, hard_conv_every=hard_every),
+            build_sample_model(),
+        )
     plants = synthetic_plants(n_entities, seed=seed)
     from pilsner_spark.core.dictionary import compile_specs, fields_from_dicts, rows_from_lines
     from pilsner_spark.core.model import CompiledModel
@@ -232,13 +303,14 @@ def main() -> None:
     parser.add_argument("--dictionary", choices=["sample", "synthetic"], default="sample")
     parser.add_argument("--entities", type=int, default=2000)
     parser.add_argument("--max-token-df", type=int, default=None, help="drop blocking tokens with document frequency above this (filler-stopword cap)")
+    parser.add_argument("--hard-every", type=int, default=None, help="every Nth conversation is a hard-slice template conversation (sample dictionary only)")
     args = parser.parse_args()
 
     from pilsner_spark.session import get_spark
 
     spark = get_spark(app_name="pilsner-spark-pipeline", cpus=args.cpus)
     n_convs = max(20, int(args.scale * 1_000_000))
-    transcripts, model = build_corpus(spark, n_convs, args.seed, args.dictionary, args.entities)
+    transcripts, model = build_corpus(spark, n_convs, args.seed, args.dictionary, args.entities, hard_every=args.hard_every)
     transcripts = transcripts.localCheckpoint()  # one deterministic materialization
 
     # Warm-up (excluded from the throughput window, like cluster/JIT
@@ -272,7 +344,7 @@ def main() -> None:
         "pairs_per_second": round(n_pairs / wall, 1),
         "f1_eval_seconds": round(eval_wall, 2),
         **scores,
-        "stages": {k: {kk: v[kk] for kk in ("rows", "wall_seconds", "resumed", "count") if isinstance(v, dict) and kk in v} for k, v in result["metrics"].items()},
+        "stages": {k: {kk: v[kk] for kk in ("rows", "wall_seconds", "resumed", "count", "band_keys", "token_keys") if isinstance(v, dict) and kk in v} for k, v in result["metrics"].items()},
     }
     print(json.dumps(report))
     spark.stop()

@@ -107,11 +107,33 @@ def synth_transcripts(
     vocab_size: int = 400,
     hot_conv_every: int = 40,
     hot_conv_turns: int = 120,
+    hard_conv_every: Optional[int] = None,
+    hard_conv_turns: int = 12,
 ) -> DataFrame:
     """Generate the transcripts table + ground truth, distributed.
 
     Every 1/*hot_conv_every* conversation is 'hot' (*hot_conv_turns* turns)
     — the skew that blocking/salting must absorb; the rest have 3-14 turns.
+
+    ``hard_conv_every`` (opt-in) plants the hard slice that makes the
+    string-similarity features earn the F1 instead of riding on
+    ``shared_entity``: every 1/*hard_conv_every* conversation becomes a
+    TEMPLATE conversation — all its turns share one conversation-level
+    filler template, so turn texts are near-identical except for the
+    planted surface. Alternating kinds:
+
+    * **hard-negative** conversations cycle DIFFERENT entities' surfaces
+      through the shared template: near-identical texts (high JW/Jaccard)
+      with different ground-truth entities — false positives unless the
+      scorer respects conflicting dictionary resolutions.
+    * **typo-positive** conversations plant ONE entity; odd turns carry a
+      corrupted surface ('zz' + label[1:], absent from the dictionary) so
+      the mention scan cannot resolve them — those turns reach their
+      entity's cluster only via a similarity edge to a clean template twin
+      (false negatives unless JW/Jaccard actually work).
+
+    ``plant_style`` records the slice per turn: plain | hard_neg |
+    typo_clean | typo | null.
     """
     forbidden = {t for p in plants for t in p.label.split()} | {p.keyword for p in plants if p.keyword}
     vocab = filler_vocab(vocab_size, seed, sorted(forbidden))
@@ -123,12 +145,27 @@ def synth_transcripts(
     v = len(vocab)
     s = F.lit(seed)
 
+    hard_enabled = hard_conv_every is not None
+    # hard ids sit at id % hard_conv_every == 1, disjoint from the hot
+    # convs at id % hot_conv_every == 0
+    is_hard = (
+        (F.col("id") % hard_conv_every == 1) if hard_enabled else F.lit(False)
+    )
+    # alternate hard kinds: 0 = hard-negative templates, 1 = typo-positives
+    hard_kind = (
+        F.pmod((F.col("id") / hard_conv_every).cast("bigint"), F.lit(2))
+        if hard_enabled
+        else F.lit(0)
+    )
+
     conv = (
         spark.range(n_convs)
         .withColumn("conv_id", F.format_string("conv_%08d", F.col("id")))
         .withColumn(
             "n_turns",
-            F.when(F.col("id") % hot_conv_every == 0, F.lit(hot_conv_turns)).otherwise(
+            F.when(is_hard, F.lit(hard_conv_turns))
+            .when(F.col("id") % hot_conv_every == 0, F.lit(hot_conv_turns))
+            .otherwise(
                 (F.pmod(_h(s, F.col("id"), F.lit("len")), F.lit(12)) + F.lit(3)).cast("int")
             ),
         )
@@ -139,45 +176,78 @@ def synth_transcripts(
         F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
     ).withColumn("turn_idx", F.col("turn_idx").cast("int"))
 
-    def words(tag: str, count_col):
-        """count_col deterministic filler words joined by single spaces."""
+    def words(tag: str, count_col, conv_level: bool = False):
+        """count_col deterministic filler words joined by single spaces.
+        ``conv_level`` drops turn_idx from the hash so every turn of the
+        conversation shares the same filler (the hard-slice template)."""
+        key = [s, F.col("id")] + ([] if conv_level else [F.col("turn_idx")]) + [F.lit(tag)]
         return F.array_join(
             F.transform(
                 F.sequence(F.lit(1), count_col),
-                lambda i: F.element_at(vocab_col, (F.pmod(_h(s, F.col("id"), F.col("turn_idx"), F.lit(tag), i), F.lit(v)) + 1).cast("int")),
+                lambda i: F.element_at(vocab_col, (F.pmod(_h(*key, i), F.lit(v)) + 1).cast("int")),
             ),
             " ",
         )
 
-    plant_pick = F.pmod(_h(s, F.col("id"), F.col("turn_idx"), F.lit("plant")), F.lit(n_plants)) + 1
-    has_plant = (
+    # plant choice: hard-negative convs cycle every surface through the
+    # template; typo convs pin one surface per conversation; plain turns
+    # draw per-turn
+    plant_pick = (
+        F.when(is_hard & (hard_kind == 0), F.pmod(F.col("turn_idx"), F.lit(n_plants)) + 1)
+        .when(is_hard & (hard_kind == 1), F.pmod(_h(s, F.col("id"), F.lit("tpick")), F.lit(n_plants)) + 1)
+        .otherwise(F.pmod(_h(s, F.col("id"), F.col("turn_idx"), F.lit("plant")), F.lit(n_plants)) + 1)
+    )
+    has_plant = is_hard | (
         F.pmod(_h(s, F.col("id"), F.col("turn_idx"), F.lit("rate")), F.lit(1000))
         < F.lit(int(plant_rate * 1000))
     )
-    n_pre = (F.pmod(_h(s, F.col("id"), F.col("turn_idx"), F.lit("npre")), F.lit(6)) + 2).cast("int")
-    n_post = (F.pmod(_h(s, F.col("id"), F.col("turn_idx"), F.lit("npost")), F.lit(6)) + 2).cast("int")
+    is_typo = is_hard & (hard_kind == 1) & (F.pmod(F.col("turn_idx"), F.lit(2)) == 1)
+    n_pre = F.when(is_hard, F.lit(4)).otherwise(
+        (F.pmod(_h(s, F.col("id"), F.col("turn_idx"), F.lit("npre")), F.lit(6)) + 2).cast("int")
+    )
+    n_post = F.when(is_hard, F.lit(4)).otherwise(
+        (F.pmod(_h(s, F.col("id"), F.col("turn_idx"), F.lit("npost")), F.lit(6)) + 2).cast("int")
+    )
+
+    def filler(tag: str, count_col):
+        return F.when(is_hard, words(tag, count_col, conv_level=True)).otherwise(
+            words(tag, count_col)
+        )
+
+    clean_label = F.element_at(labels_col, plant_pick.cast("int"))
+    emitted_label = F.when(
+        is_typo, F.concat(F.lit("zz"), F.substring(clean_label, 2, 1 << 20))
+    ).otherwise(clean_label)
 
     out = (
         turns.withColumn("role", F.element_at(F.array(*[F.lit(r) for r in ROLES]), (F.pmod(F.col("turn_idx"), F.lit(3)) + 1).cast("int")))
         .withColumn("tool", F.element_at(F.array(*[F.lit(t) for t in TOOLS]), (F.pmod(_h(s, F.col("id"), F.lit("tool")), F.lit(3)) + 1).cast("int")))
         .withColumn("ts", F.timestamp_seconds(F.lit(EPOCH_SECONDS) + F.col("id") * 3600 + F.col("turn_idx") * 7))
-        .withColumn("planted_label", F.when(has_plant, F.element_at(labels_col, plant_pick.cast("int"))))
+        .withColumn("planted_label", F.when(has_plant, emitted_label))
         .withColumn("planted_keyword", F.when(has_plant, F.element_at(keywords_col, plant_pick.cast("int"))))
         .withColumn("planted_entity", F.when(has_plant, F.element_at(entities_col, plant_pick.cast("int"))))
+        .withColumn(
+            "plant_style",
+            F.when(~has_plant, F.lit(None).cast("string"))
+            .when(is_typo, F.lit("typo"))
+            .when(is_hard & (hard_kind == 1), F.lit("typo_clean"))
+            .when(is_hard, F.lit("hard_neg"))
+            .otherwise(F.lit("plain")),
+        )
         .withColumn(
             "text",
             F.when(
                 has_plant,
                 F.concat_ws(
                     " ",
-                    words("pre", n_pre),
+                    filler("pre", n_pre),
                     F.when(F.col("planted_keyword") != "", F.col("planted_keyword")),
                     F.col("planted_label"),
-                    words("post", n_post),
+                    filler("post", n_post),
                 ),
-            ).otherwise(words("only", n_pre + n_post)),
+            ).otherwise(filler("only", n_pre + n_post)),
         )
-        .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "planted_entity", "planted_label")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "planted_entity", "planted_label", "plant_style")
     )
     return out
 

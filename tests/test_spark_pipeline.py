@@ -24,7 +24,7 @@ def transcripts(spark):
 
 def test_synth_schema_and_determinism(spark, transcripts):
     assert [f.name for f in transcripts.schema.fields] == [
-        "conv_id", "turn_idx", "role", "text", "tool", "ts", "planted_entity", "planted_label",
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "planted_entity", "planted_label", "plant_style",
     ]
     assert dict(transcripts.dtypes)["turn_idx"] == "int"
     assert dict(transcripts.dtypes)["ts"] == "timestamp"
@@ -102,6 +102,9 @@ def test_connected_components(spark):
     assert comp["a"] == comp["b"] == comp["c"]
     assert comp["x"] == comp["y"]
     assert comp["a"] != comp["x"]
+    # label domain is the turn_key string itself (collision-free at any
+    # scale, unlike a 64-bit hash id space): cluster id == min member key
+    assert comp["a"] == "a" and comp["x"] == "x"
     # singletons via cluster_turns
     all_turns = spark.createDataFrame([("a",), ("q",)], "turn_key string")
     out = {r.turn_key: r.cluster_id for r in cluster_turns(all_turns, edges).collect()}
@@ -117,6 +120,36 @@ def test_er_pipeline_f1_gate(spark, transcripts, tmp_path):
     assert scores["f1"] >= 0.99, scores
     # the hard negative must be present: cross-entity pairs in same blocks
     assert scores["tp"] > 0 and scores["labeled_pairs"] > scores["tp"]
+
+
+def test_er_pipeline_hard_negatives_earn_f1(spark, tmp_path):
+    """The similarity features must EARN the F1 (VERDICT r1 item 2): on a
+    corpus heavy with template conversations — near-identical texts around
+    different entities (hard negatives) and dictionary-invisible typo'd
+    surfaces (similarity-only positives) — the full scorer must hold the
+    ≥0.99 gate while a shared_entity-only baseline drops below 0.9 F1."""
+    tr = synth_transcripts(spark, n_convs=240, seed=7, hard_conv_every=4).localCheckpoint()
+    result = run_er_pipeline(spark, str(tmp_path / "hard"), tr)
+    scores = evaluate_f1(result["scored"], result["clusters"], tr)
+    assert scores["hard_slice"]["labeled_pairs"] > 100
+    assert scores["f1"] >= 0.99, scores
+    assert scores["hard_slice"]["f1"] >= 0.99, scores["hard_slice"]
+
+    # baseline: edges from shared_entity alone — typo turns never link, so
+    # recall collapses; proves JW/Jaccard + the conflict veto are load-bearing
+    base_edges = (
+        result["scored"].filter(F.col("shared_entity")).select("key_a", "key_b").distinct()
+    )
+    base_clusters = cluster_turns(with_turn_key(tr).select("turn_key"), base_edges)
+    base = evaluate_f1(result["scored"], base_clusters, tr)
+    assert base["hard_slice"]["f1"] < 0.9, base
+
+    # and the hard negatives must actually be hard: near-identical
+    # cross-entity pairs exist among the scored pairs (high jw, conflict)
+    hardneg = result["scored"].filter(
+        F.col("conflicting_entities") & (F.col("jw") >= 0.92) & (F.col("jaccard") >= 0.6)
+    )
+    assert hardneg.count() > 0
 
 
 def test_pipeline_resume(spark, transcripts, tmp_path):
@@ -144,9 +177,10 @@ def test_lineage_recorded(spark, transcripts, tmp_path):
 
 
 def test_score_pairs_broadcast_and_shuffle_paths_agree(spark):
-    """The broadcast path (keyed similarity UDF over a broadcast norm map)
-    and the shuffle path (norm columns joined per pair) must produce
-    identical scores — including JW/lev on undecided near-duplicate pairs."""
+    """The broadcast path (norm_text fetched for undecided rows via masked
+    broadcast joins — no driver collect) and the shuffle path (norm columns
+    joined per pair) must produce identical scores — including JW/lev on
+    undecided near-duplicate pairs."""
     from pilsner_spark.operators.scoring import score_pairs, turn_features
 
     rows = [
