@@ -5,8 +5,9 @@
 plus the training-data-pipeline additions); each callable takes
 (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted only for
-genuinely non-SQL-expressible ops: the pilsner span post-processing and the
-iterative ER pipeline — those get rows-only checks).
+the genuinely non-SQL-expressible end-to-end ER clustering, which gets a
+rows-only check; the span post-processing fold is oracled via a recursive
+CTE and the mention pipeline via a SQL model of the dictionary semantics).
 
 Engine-portable determinism rules used throughout: hashing via md5 (same
 value in Spark and DuckDB), money aggregated as decimal(18,2), ratios
@@ -353,14 +354,50 @@ def q_q10_span_postprocess(spark, sf_dir):
 # -- ER pipeline (rows-only: iterative, non-SQL) ---------------------------
 
 
+# The 7 distinct surfaces of the pilsner test-suite dictionary — planted
+# one per document between 8-char md5-hex filler tokens, so the oracle can
+# model the full two-normalizer mention pipeline (normalize -> leftmost-
+# longest scan -> layer merge -> keyword disambiguation) in pure SQL: hex
+# tokens can never match a surface or a disambiguation keyword.
+_ER_SURFACES = [
+    "awesome white refrigerators",
+    "awesome white refrigeratorx",
+    "conflicting refrigerator",
+    "awesome white refrigerator",
+    "awwsome white refrigerator",
+    "it",
+    "o",
+]
+
+
 def q_er_mentions(spark, sf_dir):
+    """Q1/Q4/Q8/Q9: the full ER mention scan (two normalization layers,
+    offset remap to original coordinates, layer merge, keyword
+    disambiguation) over a documents-derived corpus — hash-exact against a
+    SQL oracle that re-derives the dictionary semantics (normalization,
+    per-layer matching, keyword-set disambiguation scores) from the raw
+    dictionary VALUES."""
     from pilsner_spark.operators.mentions import extract_mentions_df
     from pilsner_spark.sources.sample_dictionary import build_sample_model
-    from pilsner_spark.sources.synth import synth_transcripts
 
-    tr = synth_transcripts(spark, n_convs=40, seed=42)
-    return extract_mentions_df(tr, build_sample_model()).select(
-        "conv_id", "turn_idx", "begin", "end", F.explode("entity_ids").alias("entity_id")
+    docs = _t(spark, sf_dir, "documents")
+    lab = F.element_at(
+        F.array(*[F.lit(x) for x in _ER_SURFACES]), (F.pmod(F.col("doc_id"), F.lit(7)) + 1).cast("int")
+    )
+    tr = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.concat(
+            F.substring(F.md5(F.col("text")), 1, 8), F.lit(" "), lab, F.lit(" "),
+            F.substring(F.md5(F.col("text")), 9, 8),
+        ).alias("text"),
+    )
+    mentions = extract_mentions_df(tr, build_sample_model())
+    return mentions.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "begin",
+        "end",
+        F.explode("entity_ids").alias("entity_id"),
     )
 
 
@@ -678,6 +715,116 @@ select doc_id, {entity_expr}, n_mentions from counted where n_mentions > 0
 """
 
 
+def _er_mentions_oracle() -> str:
+    """SQL model of the two-normalizer mention pipeline over the planted
+    corpus: raw dictionary VALUES -> per-layer normalization (t1: casefold
+    + 'tors' split; t2: casefold + 'white' token removal) -> per-layer
+    exact matching of the planted surface -> layer merge (distinct
+    entities, last layer wins as context source) -> keyword disambiguation
+    (ambiguous-norm collision -> per-entity keyword sets -> distinctive
+    keywords vs the rival -> context-overlap argmax with ties kept, per
+    utility.py:523-587). Hex filler tokens cannot collide with surfaces or
+    keywords, so the span is always (9, 9+len(label))."""
+    from pilsner_spark.sources.sample_dictionary import SAMPLE_DICTIONARY_LINES
+
+    tag_map = {"tokenizer1": "t1", "tokenizer2": "t2"}
+    d_rows = []
+    for line in SAMPLE_DICTIONARY_LINES:
+        tag, ent, label, _attrs = line.split("\t")
+        d_rows.append(f"('{tag_map[tag]}', '{ent}', '{label}')")
+    d_values = ", ".join(d_rows)
+    surf_values = ", ".join(f"('{s}')" for s in _ER_SURFACES)
+    surf_list = "[" + ", ".join(f"'{s}'" for s in _ER_SURFACES) + "]"
+    n1 = "trim(regexp_replace(replace(lower({x}), 'tors', ' tors '), ' +', ' ', 'g'))"
+    n2 = "array_to_string(list_filter(string_split(lower({x}), ' '), t -> t != 'white'), ' ')"
+    return f"""
+with d(tag, entity_id, label) as (values {d_values}),
+norms as (
+  select tag, entity_id, label,
+    case when tag = 't1' then {n1.format(x='label')} else {n2.format(x='label')} end as nl
+  from d),
+qlab(label) as (values {surf_values}),
+qn as (
+  select label, {n1.format(x='label')} as q1, {n2.format(x='label')} as q2 from qlab),
+m as (
+  select q.label, n.entity_id, n.tag
+  from qn q join norms n on n.nl = case when n.tag = 't1' then q.q1 else q.q2 end),
+cand as (select label, entity_id, max(tag) as src from m group by label, entity_id),
+ncand as (select label, count(*) as nc from cand group by label),
+ambn as (select nl from norms group by nl having count(distinct entity_id) > 1),
+kw as (
+  select entity_id, list_distinct(flatten(list(string_split(nl, ' ')))) as toks
+  from norms
+  where entity_id in (select distinct entity_id from norms where nl in (select nl from ambn))
+  group by entity_id),
+ctx as (
+  select label, 't1' as tag, string_split(q1, ' ') as toks from qn
+  union all
+  select label, 't2', string_split(q2, ' ') from qn),
+rivals as (
+  select a.label, a.entity_id as e, b.entity_id as o, a.src
+  from cand a join cand b on a.label = b.label and a.entity_id != b.entity_id),
+sc as (
+  select p.label, p.e,
+    len(list_intersect(list_filter(coalesce(ke.toks, []), t -> not list_contains(coalesce(ko.toks, []), t)), c.toks)) as score
+  from rivals p
+  left join kw ke on ke.entity_id = p.e
+  left join kw ko on ko.entity_id = p.o
+  join ctx c on c.label = p.label and c.tag = p.src),
+win as (
+  select label, e as entity_id
+  from (select *, rank() over (partition by label order by score desc) as r from sc) where r = 1),
+resolved as (
+  select c.label, c.entity_id from cand c join ncand using (label) where nc = 1
+  union all
+  select label, entity_id from win),
+planted as (select doc_id, {surf_list}[cast(doc_id % 7 as int) + 1] as label from documents)
+select p.doc_id, 9 as "begin", 9 + length(p.label) as "end", r.entity_id
+from planted p join resolved r using (label)
+"""
+
+
+_Q10_ORACLE = """
+with recursive
+spans as (
+  select distinct user_id as gid, cast(floor(value) as int) as b,
+         cast(floor(value) + (event_id % 7) + 1 as int) as e
+  from events),
+init as (
+  select gid, list_transform(list_sort(list({'b': b, 'e': e})), x -> [x]) as groups
+  from spans group by gid),
+-- reduce_spans (utility.py:699-729) as an index fold: groups sorted by
+-- (begin, length); at step i the head of group i is compared with the head
+-- of group i+1 — longer head displaces the neighbor group wholesale,
+-- shorter head tries to recover a non-intersecting member, else merges.
+step as (
+  select gid, 1 as i, groups from init
+  union all
+  select gid, i + 1,
+    case when len(groups[i]) = 0
+           or not (groups[i][1].b <= groups[i+1][1].b and groups[i+1][1].b <= groups[i][1].e)
+         then groups
+         else list_concat(list_concat(groups[1:i-1],
+           case
+             when (groups[i][1].e - groups[i][1].b) >= (groups[i+1][1].e - groups[i+1][1].b)
+               then [groups[i][1:0], groups[i]]
+             when len(list_filter(groups[i][2:], g -> not (g.b <= groups[i+1][1].b and groups[i+1][1].b <= g.e))) > 0
+               then [list_concat([list_filter(groups[i][2:], g -> not (g.b <= groups[i+1][1].b and groups[i+1][1].b <= g.e))[1]], groups[i][2:]), groups[i+1]]
+             else [groups[i][1:0], list_concat(groups[i+1], groups[i])]
+           end),
+           groups[i+2:len(groups)])
+    end
+  from step where i < len(groups)),
+fin as (
+  select gid, groups
+  from (select *, row_number() over (partition by gid order by i desc) as rn from step)
+  where rn = 1)
+select gid, g[1].b as b, g[1].e as e
+from (select gid, unnest(groups) as g from fin)
+where len(g) > 0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from pilsner_spark.functions.text import EN_STOPWORDS
     from pilsner_spark.sources.sample_dictionary import build_sample_model
@@ -727,6 +874,8 @@ def oracle_sql() -> dict[str, str]:
             "and not exists (select 1 from orders o where o.o_custkey = c.c_custkey and o.o_orderstatus = 'F')"
         ),
         "q4_mention_scan": _mention_oracle(),
+        "q10_span_postprocess": _Q10_ORACLE,
+        "er_mentions": _er_mentions_oracle(),
         "b5_normalization": (
             "with t as (select doc_id, list_filter(string_split(text, ' '), x -> x != '') as ts from documents), "
             "r as (select doc_id, list_transform(list_transform(list_filter(ts, x -> x != 'the'), "
