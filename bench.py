@@ -67,6 +67,19 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - start, 3)
 
+    # ANN index quality (VERDICT r1 item 9): recall@5 vs brute force at
+    # n_probe=4/16 cells, for both the oracle-checkable sample centroids
+    # and the trained k-means index
+    from pilsner_spark.operators.ann import kmeans_centroids, recall_at_k
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    annq = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    km = kmeans_centroids(emb, n_cells=16, iters=3)
+    ann_recall = {
+        "sample": round(recall_at_k(emb, annq, k=5, n_cells=16, n_probe=4), 3),
+        "kmeans": round(recall_at_k(emb, annq, k=5, n_cells=16, n_probe=4, centroids=km), 3),
+    }
+
     # ER pipeline throughput: synthetic dictionary corpus sized by sf
     workdir = f"/tmp/pilsner_bench_work_{os.getpid()}"
     shutil.rmtree(workdir, ignore_errors=True)
@@ -93,6 +106,7 @@ def main() -> None:
         "er_pairs_scored": int(n_pairs),
         "er_pairs_per_second": round(n_pairs / er_wall, 1),
         "er_f1": f1["f1"],
+        "ann_recall_at5": ann_recall,
     }
     print(json.dumps(report))
     spark.stop()

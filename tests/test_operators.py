@@ -105,6 +105,19 @@ def test_ann_ivf_recall(spark, vectors):
     assert recall >= 0.6, (recall, brute - ivf)
 
 
+def test_ann_ivf_kmeans_recall(spark, vectors):
+    """Trained index quality gate: on the angle-clustered fixture, k-means
+    centroids must align with the real clusters — recall@3 >= 0.9 probing
+    half the cells; and every k-means cell must stay nonempty here."""
+    from pilsner_spark.operators.ann import kmeans_centroids, recall_at_k
+
+    queries = vectors.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    km = kmeans_centroids(vectors, n_cells=8, iters=3)
+    assert km.count() == 8
+    rec = recall_at_k(vectors, queries, k=3, n_cells=8, n_probe=4, centroids=km)
+    assert rec >= 0.9, rec
+
+
 def test_text_functions_edge_cases(spark):
     from pilsner_spark.functions import text as TX
 
