@@ -201,7 +201,17 @@ class CompiledModel:
         first-token buckets move together (per-bucket longest-first order
         preserved); the scan layer unions matches across shards before
         span merge/reduction, exactly as the reference unions matches from
-        its multiple tries (utility.py:438-517 + flatten_layers)."""
+        its multiple tries (utility.py:438-517 + flatten_layers).
+
+        Divergence class (shared with the reference's multi-trie union):
+        greedy consumption is per-shard, so a label in another shard that
+        starts inside a committed match and extends past it (e.g. labels
+        {'a b', 'b c d'} on 'a b c d') is emitted by its own shard and can
+        win reduce_spans, changing the surviving mention vs a single-shard
+        scan. Parity with the single matcher is guaranteed only when no
+        label starts inside and extends beyond another shard's match;
+        test_sharded_scan_cross_shard_overlap pins the intended
+        (reference-multi-trie) behavior on the divergent case."""
         import hashlib
 
         shards: List[Dict[str, TokenIndexedMatcher]] = [

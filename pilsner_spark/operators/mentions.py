@@ -54,6 +54,12 @@ def extract_mentions_df(
     the work to where it is constant — per SURVEY.md §2.2 Q7 this yields the
     reference's accepted spans exactly.
 
+    ``n_matcher_shards``: B10 sharded broadcasts. NOTE the documented
+    divergence class (CompiledModel.shard_matchers): single-matcher parity
+    is guaranteed only when no label starts inside and extends beyond
+    another shard's match; on such overlaps the union scan keeps the
+    reference's multi-trie behavior instead.
+
     ``spread``: text compresses well, so a byte-budget scan of a small
     parquet file often yields a single input partition while the Python
     scan kernel costs far more per row than the repartition that unlocks

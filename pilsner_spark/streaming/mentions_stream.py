@@ -13,6 +13,9 @@ shape a production deployment needs when transcripts arrive as a feed:
   micro-batch of mentions upserts (turn, entity) observations into the
   batch clustering tables via the same catalog the batch pipeline uses, so
   batch and streaming share one storage layout.
+* ``streaming_exact_dedup`` — custom stateful operator
+  (``applyInPandasWithState``): first-occurrence pass-through keyed by
+  text hash; duplicates arriving in any later micro-batch are dropped.
 """
 
 from __future__ import annotations
@@ -105,6 +108,47 @@ def incremental_cluster_assignments(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Streaming exact dedup as a custom stateful operator: the first row
+    carrying each text (by md5) passes through; every later duplicate —
+    same micro-batch or any subsequent one — is dropped.
+
+    State design for 10^12-turn scale: one boolean per DISTINCT text hash
+    (not per row), partitioned by the hash — the state store grows with
+    unique content only, and the shuffle key is the dedup key, so state
+    lookups are local to the partition. Within a batch the kept row is the
+    (conv_id, turn_idx)-minimum for determinism.
+    """
+    import pandas as pd
+
+    keyed = stream_df.withColumn("text_md5", F.md5(F.col(text_col)))
+    out_schema = keyed.schema
+    ids = list(id_cols)
+
+    def dedup_fn(key, pdf_iter, state):
+        if state.exists:
+            for _ in pdf_iter:  # drain: hash already emitted in a prior batch
+                pass
+            return
+        batches = [pdf for pdf in pdf_iter if len(pdf)]
+        state.update((True,))
+        if batches:
+            allrows = pd.concat(batches, ignore_index=True)
+            yield allrows.sort_values(ids, kind="mergesort").head(1)
+
+    return keyed.groupBy("text_md5").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
 
 
 def run_availablenow_to_memory(stream_result: DataFrame, query_name: str):

@@ -239,11 +239,51 @@ def test_candidate_pairs_dedupe_flag(spark):
     assert len(dd) == 1
 
 
+def test_sharded_scan_cross_shard_overlap(spark):
+    """Pin the documented divergence class (shard_matchers docstring): a
+    label in another shard that starts inside a committed match and
+    extends past it wins reduce_spans — the reference's multi-trie union
+    behavior, NOT single-matcher greedy consumption."""
+    from pilsner_spark.core.dictionary import compile_specs, fields_from_dicts, rows_from_lines
+    from pilsner_spark.core.model import CompiledModel
+    from pilsner_spark.core.normalize import BYPASS
+    from pilsner_spark.core.parse import extract_mentions
+    from pilsner_spark.core.scan import TokenIndexedMatcher
+
+    fields = fields_from_dicts(
+        [
+            {"name": "entity_id", "include": True, "delimiter": None, "id_flag": True, "normalizer_flag": False, "value_flag": False},
+            {"name": "label", "include": True, "delimiter": None, "id_flag": False, "normalizer_flag": False, "value_flag": True},
+        ]
+    )
+    rows = rows_from_lines(["x\ta b", "y\tb c d"], compile_specs(fields))
+    m = CompiledModel()
+    m.add_normalizer("bypass", BYPASS)
+    m.compile_rows(rows, include_keywords=False)
+
+    single = [(s.begin, s.end, s.entity_ids) for s in extract_mentions(m, "a b c d")]
+    assert single == [(0, 3, ["x"])]  # greedy scan consumes 'b'
+
+    s1, s2 = TokenIndexedMatcher(), TokenIndexedMatcher()
+    s1.add("a b", 0)
+    s2.add("b c d", 1)
+    sharded = [
+        (s.begin, s.end, s.entity_ids)
+        for s in extract_mentions(m, "a b c d", matcher_shards=[{"bypass": s1}, {"bypass": s2}])
+    ]
+    # longer cross-shard span wins reduce_spans; end=6 is the reference's
+    # end-of-string quirk (end = len-1 for a match at text end, scan.py doc)
+    assert sharded == [(2, 6, ["y"])]
+
+
 def test_sharded_matcher_broadcast_parity(spark, model, transcripts):
     """B10 (item_limit sharding) as sharded broadcasts: mention extraction
     with the dictionary split across 3 matcher shards must equal the
     single-broadcast result — on the golden parse string and on a corpus
-    slice (union-of-shards scan feeds the same merge/reduce pipeline)."""
+    slice (union-of-shards scan feeds the same merge/reduce pipeline).
+    Equality here is a property of the sample dictionary (no label starts
+    inside and extends beyond another shard's match — the documented
+    divergence class is pinned by test_sharded_scan_cross_shard_overlap)."""
     from pilsner_spark.core.parse import extract_mentions
 
     text = "this is awwsome white refrigerator o refrigerator, is it tors not conflicting refrigerator hey"

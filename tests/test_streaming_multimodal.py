@@ -103,6 +103,55 @@ def test_multimodal_frame_plan_and_partitioning(spark):
     assert repartition_by_bytes(media, target_bytes_per_partition=100).rdd.getNumPartitions() >= 9
 
 
+def test_streaming_exact_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates within a batch AND across
+    restarted runs (state persisted via checkpoint) are dropped; the kept
+    row is the (conv_id, turn_idx)-minimum."""
+    from pilsner_spark.streaming.mentions_stream import streaming_exact_dedup
+
+    src = str(tmp_path / "dd_in")
+    ckpt = str(tmp_path / "dd_ckpt")
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+    def turn(conv, idx, text):
+        return (conv, idx, "user", text, "none", None)
+
+    spark.createDataFrame(
+        [
+            turn("a", 0, "same text"),
+            turn("b", 3, "same text"),  # in-batch dup, higher key
+            turn("c", 0, "unique one"),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src)
+
+    sink = str(tmp_path / "dd_out")
+
+    def run():
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.conv_id, r.turn_idx) for r in spark.read.parquet(sink).collect()}
+
+    got1 = run()
+    assert got1 == {("a", 0), ("c", 0)}  # min-key row kept per text
+
+    # restart with new data: cross-batch duplicate dropped via state store
+    spark.createDataFrame(
+        [turn("d", 0, "same text"), turn("e", 0, "brand new")], schema
+    ).write.mode("append").parquet(src)
+    got2 = run()
+    assert got2 == {("a", 0), ("c", 0), ("e", 0)}  # d's dup never emitted
+
+
 def test_incremental_cluster_assignments(spark, model, tmp_path):
     """foreachBatch incremental clustering: turns sharing an entity —
     directly or transitively across micro-batches — land in one cluster,
