@@ -4,10 +4,11 @@
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 inventory
 plus the training-data-pipeline additions); each callable takes
 (spark, sf_dir) and returns a DataFrame.
-``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted only for
-the genuinely non-SQL-expressible end-to-end ER clustering, which gets a
-rows-only check; the span post-processing fold is oracled via a recursive
-CTE and the mention pipeline via a SQL model of the dictionary semantics).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for EVERY query (no rows-only
+entries): the span post-processing fold is oracled via a recursive CTE, the
+mention pipeline via a SQL model of the dictionary semantics, and the
+end-to-end ER clustering via the analytic component structure of a planted
+corpus.
 
 Engine-portable determinism rules used throughout: hashing via md5 (same
 value in Spark and DuckDB), money aggregated as decimal(18,2), ratios
@@ -402,16 +403,43 @@ def q_er_mentions(spark, sf_dir):
 
 
 def q_er_clusters(spark, sf_dir):
-    from pilsner_spark.operators.blocking import candidate_pairs, salt_oversized_blocks, token_blocks, with_turn_key
+    """End-to-end ER clustering (block -> score -> transitive components)
+    over the planted documents corpus — hash-exact: on this corpus the
+    match graph's components are derivable analytically. Every doc plants
+    one dictionary surface between doc-unique hex tokens, so match edges
+    exist exactly between same-resolved-entity docs that share a planted
+    token, giving four components: surfaces {1,2} (entity2 via shared
+    'awesome'/'white'), {3,4,5} (entity1, bridged by 'refrigerator'),
+    {'it'}, {'o'}. Cluster id = lexicographic-min member turn_key (the
+    collision-free label domain of connected_components)."""
+    from pilsner_spark.operators.blocking import (
+        candidate_pairs,
+        salt_oversized_blocks,
+        token_blocks,
+        with_turn_key,
+    )
     from pilsner_spark.operators.clustering import cluster_turns
     from pilsner_spark.operators.mentions import extract_mentions_df, normalized_text_df, turn_entities_df
     from pilsner_spark.operators.scoring import match_edges, score_pairs, turn_features
     from pilsner_spark.sources.sample_dictionary import build_sample_model
-    from pilsner_spark.sources.synth import pipeline_input, synth_transcripts
 
     model = build_sample_model()
-    tr = synth_transcripts(spark, n_convs=40, seed=42).localCheckpoint()
-    turns = with_turn_key(normalized_text_df(pipeline_input(tr), model))
+    docs = _t(spark, sf_dir, "documents")
+    lab = F.element_at(
+        F.array(*[F.lit(x) for x in _ER_SURFACES]), (F.pmod(F.col("doc_id"), F.lit(7)) + 1).cast("int")
+    )
+    tr = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(
+            F.substring(F.md5(F.col("text")), 1, 8), F.lit(" "), lab, F.lit(" "),
+            F.substring(F.md5(F.col("text")), 9, 8),
+        ).alias("text"),
+        F.lit("none").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    ).localCheckpoint()
+    turns = with_turn_key(normalized_text_df(tr, model))
     blocks, _ = salt_oversized_blocks(token_blocks(turns), 400, 16)
     pairs = candidate_pairs(blocks)
     feats = turn_features(turns, with_turn_key(turn_entities_df(extract_mentions_df(tr, model))))
@@ -876,6 +904,18 @@ def oracle_sql() -> dict[str, str]:
         "q4_mention_scan": _mention_oracle(),
         "q10_span_postprocess": _Q10_ORACLE,
         "er_mentions": _er_mentions_oracle(),
+        # analytic components of the planted corpus (q_er_clusters doc):
+        # surfaces {1,2} -> entity2 component, {3,4,5} -> entity1 component
+        # (bridged by shared planted tokens), {'it'}, {'o'} — cluster id is
+        # the lexicographic-min member turn_key "<doc_id>#0". Valid while
+        # every block stays under the salting threshold (true at oracle sf).
+        "er_clusters": (
+            "with planted as (select doc_id, cast(doc_id % 7 as int) + 1 as li from documents), "
+            "grp as (select doc_id, case when li <= 2 then 0 when li <= 5 then 1 else li end as g from planted), "
+            "mins as (select g, min(cast(doc_id as varchar) || '#0') as cluster_id from grp group by g) "
+            "select m.cluster_id, count(*) as n_turns from grp join mins m using (g) "
+            "group by m.cluster_id having count(*) > 1"
+        ),
         "b5_normalization": (
             "with t as (select doc_id, list_filter(string_split(text, ' '), x -> x != '') as ts from documents), "
             "r as (select doc_id, list_transform(list_transform(list_filter(ts, x -> x != 'the'), "
