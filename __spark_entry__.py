@@ -319,8 +319,9 @@ def q_q9_argmax_ties(spark, sf_dir):
 
 def q_q10_span_postprocess(spark, sf_dir):
     """Q10/Q11: nested-span drop + overlap reduction (utility.py:666-729)
-    over synthetic span sets — non-SQL-expressible (recovery-list logic),
-    rows-only check. Spans derived deterministically from event values."""
+    over synthetic span sets, spans derived deterministically from event
+    values. Hash-exact: the recovery-list fold is oracled by a DuckDB
+    recursive CTE (``_Q10_ORACLE``) that replays reduce_spans index-by-index."""
     from pyspark.sql import types as T
 
     from pilsner_spark.core.parse import reduce_spans

@@ -88,8 +88,11 @@ def main() -> None:
     transcripts = transcripts.localCheckpoint()
     start = time.time()
     result = run_er_pipeline(spark, workdir, transcripts, model=model)
-    n_pairs = result["scored"].count()
     er_wall = time.time() - start
+    # pair count from stage lineage — counting result["scored"] here would
+    # charge the timed window one checkpoint re-read the pipeline CLI does
+    # not charge (plans/pipeline.py main does the same)
+    n_pairs = int(result["metrics"]["scored_pairs"]["rows"])
     f1 = evaluate_f1(result["scored"], result["clusters"], transcripts)
     timings["er_pipeline"] = round(er_wall, 3)
     shutil.rmtree(workdir, ignore_errors=True)

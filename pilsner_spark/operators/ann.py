@@ -83,8 +83,10 @@ def kmeans_centroids(
     probes redistribute) — standard k-means behavior, fine for IVF.
 
     Physical shape per iteration: one broadcast cross join (N x C rows, no
-    shuffle) + one (cell, dim) hash aggregation with map-side partials —
-    linear in N at any cluster size; centroids stay O(C x d)."""
+    shuffle), an argmax via ``max_by`` hash aggregation (map-side partials —
+    NOT a window, which would shuffle all N x C rows per iteration), and one
+    (cell, dim) hash aggregation — linear in N at any cluster size;
+    centroids stay O(C x d)."""
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v_vec"))
     centroids = v.orderBy("vec_id").limit(n_cells).select(
         F.col("vec_id").alias("cell"), F.col("v_vec").alias("c_vec")
@@ -93,8 +95,13 @@ def kmeans_centroids(
         scored = F.broadcast(centroids).crossJoin(v).withColumn(
             "cos", cosine_similarity(F.col("c_vec"), F.col("v_vec"))
         )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
-        assign = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+        # argmax by (cos desc, cell asc): max_by over the ordering struct
+        # (-cell so ties prefer the smallest cell, matching the window the
+        # previous implementation used — but without its N x C shuffle)
+        assign = scored.groupBy("vec_id").agg(
+            F.max_by("cell", F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("cell"),
+            F.any_value("v_vec").alias("v_vec"),
+        )
         dims = assign.select("cell", F.posexplode("v_vec").alias("pos", "x"))
         centroids = (
             dims.groupBy("cell", "pos")
@@ -117,15 +124,19 @@ def ivf_assign(
     centroids: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid cell. Returns
-    (vec_id, cell)."""
+    (vec_id, cell). Argmax via ``max_by`` aggregation (map-side partial
+    collapses the N x C cross-join output to N rows before the exchange;
+    the window variant shuffled all N x C rows). Tie-break identical to
+    the previous window (rounded cos desc, cell asc) so the oracle holds."""
     if centroids is None:
         centroids = sample_centroids(vectors, n_cells, id_col, vec_col)
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"))
     scored = F.broadcast(centroids).crossJoin(v).withColumn(
         "cos", F.round(cosine_similarity(F.col("c_vec").cast("array<double>"), F.col("v_vec").cast("array<double>")), 6)
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
-    return scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1).select("vec_id", "cell")
+    return scored.groupBy("vec_id").agg(
+        F.max_by("cell", F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("cell")
+    )
 
 
 def ivf_topk(

@@ -22,23 +22,43 @@ removes two mapping joins the hashed-id version needed.
 
 from __future__ import annotations
 
+import logging
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_LOG = logging.getLogger(__name__)
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, stats: Optional[dict] = None
+) -> DataFrame:
     """edges: (key_a, key_b) string pairs. Returns (turn_key, cluster_id)
     where cluster_id is the component's minimum turn_key.
 
     Singleton vertices (no edges) are not returned; callers union them back
     with their own key as cluster id.
+
+    ``stats``: mutable dict receiving ``{'iterations', 'converged',
+    'unconverged_labels'}``. Exhausting ``max_iter`` with labels still
+    changing would silently return split clusters (a >max_iter-diameter
+    similarity chain — realistic for near-dup chains at scale), violating
+    the no-silent-truncation principle — so non-convergence is ALWAYS
+    logged at warning level, and ``unconverged_labels`` reports how many
+    labels were still moving (one extra count on the small label table,
+    charged only in the failure case).
     """
     e = edges.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
     # undirected: keep both directions for the neighbor-min aggregation
     adj = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().localCheckpoint()
 
     labels = adj.select(F.col("src").alias("vid")).distinct().withColumn("label", F.col("vid"))
+    converged = False
+    iterations = 0
+    new_labels = None
     for _ in range(max_iter):
+        iterations += 1
         nbr_min = (
             adj.join(labels, adj.dst == labels.vid)
             .groupBy("src")
@@ -55,14 +75,30 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).count()
         labels = new_labels.select("vid", F.col("new_label").alias("label"))
         if changed == 0:
+            converged = True
             break
+    unconverged_labels = 0
+    if not converged and new_labels is not None:
+        unconverged_labels = new_labels.filter(F.col("new_label") != F.col("label")).count()
+        _LOG.warning(
+            "connected_components exhausted max_iter=%d with %d labels still changing; "
+            "returned clusters may be split (raise max_iter)",
+            max_iter,
+            unconverged_labels,
+        )
+    if stats is not None:
+        stats.update(
+            {"iterations": iterations, "converged": converged, "unconverged_labels": unconverged_labels}
+        )
     return labels.select(F.col("vid").alias("turn_key"), F.col("label").alias("cluster_id"))
 
 
-def cluster_turns(all_turns: DataFrame, edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def cluster_turns(
+    all_turns: DataFrame, edges: DataFrame, max_iter: int = 25, stats: Optional[dict] = None
+) -> DataFrame:
     """Full clustering output: every turn gets a cluster id; turns outside
     any match edge become singletons keyed by their own turn_key."""
-    comp = connected_components(edges, max_iter=max_iter)
+    comp = connected_components(edges, max_iter=max_iter, stats=stats)
     return (
         all_turns.select("turn_key")
         .join(comp, "turn_key", "left")

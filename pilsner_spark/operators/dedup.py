@@ -121,11 +121,15 @@ def minhash_candidate_pairs(bands: DataFrame, max_bucket_size: int = 200) -> Dat
     normal case in web-scale dedup — millions of identical boilerplate
     docs land in one band) would otherwise build one multi-million-element
     array row and O(n^2) pairs. Buckets above the cap are DROPPED from
-    pair expansion — near-dup membership for those docs is already proven
-    by exact dedup (identical boilerplate hashes equal), so candidate
-    pairs from a saturated band add no information. The drop is never
-    silent: use ``oversized_band_report`` for the per-key sizes, same
-    treatment as blocking.salt_oversized_blocks."""
+    pair expansion — a RECALL TRADE-OFF, not a free drop: band saturation
+    only proves band-level minhash agreement, so two non-identical
+    near-dups whose only shared band is the saturated one lose their
+    candidate pair (exact duplicates are separately covered by
+    exact_dedup_groups; docs in a capped bucket usually still co-occur in
+    other, unsaturated bands). The drop must never be silent: callers
+    should surface ``oversized_band_report`` alongside the pairs — the ER
+    pipeline does the equivalent for salted blocks — so the affected keys
+    and sizes are visible."""
     buckets = (
         bands.groupBy("band_key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))

@@ -129,9 +129,12 @@ def run_er_pipeline(
         salted, oversized = salt_oversized_blocks(blocks, max_block_size, salt_buckets)
         # one aggregation job for the no-silent-truncation report, split by
         # key family so band-key skew is visible separately from token skew
+        # band keys are 'mh<band#>#<hash>#<tool>#<role>' (blocking.minhash_blocks);
+        # a full-prefix match, not startswith('mh') — a corpus token beginning
+        # with 'mh' (e.g. 'mhz') must not be miscounted as a band key
         counts = oversized.agg(
             F.count("*").alias("total"),
-            F.sum(F.when(F.col("block_key").startswith("mh"), 1).otherwise(0)).alias("band"),
+            F.sum(F.when(F.col("block_key").rlike("^mh[0-9]+#"), 1).otherwise(0)).alias("band"),
         ).collect()[0]
         pipe.metrics["blocking_salted_keys"] = {
             "count": int(counts["total"] or 0),
@@ -182,10 +185,13 @@ def run_er_pipeline(
             broadcast_features=bcast_feats,
         ),
     )
+    cc_stats: Dict[str, object] = {}
     clusters = pipe.stage(
         "entity_clusters",
-        lambda: cluster_turns(turns, match_edges(scored)),
+        lambda: cluster_turns(turns, match_edges(scored), stats=cc_stats),
     )
+    if cc_stats:  # empty when the stage was resumed from checkpoint
+        pipe.metrics["clustering_convergence"] = dict(cc_stats)
     return {"clusters": clusters, "scored": scored, "metrics": pipe.metrics, "pipeline": pipe}
 
 
@@ -344,7 +350,7 @@ def main() -> None:
         "pairs_per_second": round(n_pairs / wall, 1),
         "f1_eval_seconds": round(eval_wall, 2),
         **scores,
-        "stages": {k: {kk: v[kk] for kk in ("rows", "wall_seconds", "resumed", "count", "band_keys", "token_keys") if isinstance(v, dict) and kk in v} for k, v in result["metrics"].items()},
+        "stages": {k: {kk: v[kk] for kk in ("rows", "wall_seconds", "resumed", "count", "band_keys", "token_keys", "iterations", "converged", "unconverged_labels") if isinstance(v, dict) and kk in v} for k, v in result["metrics"].items()},
     }
     print(json.dumps(report))
     spark.stop()

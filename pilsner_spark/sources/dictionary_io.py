@@ -10,8 +10,12 @@ keyword table from normalized-synonym collisions (B12). Output tables match
 driver-side compile — so either path can feed the broadcast matcher.
 
 Scale notes:
-* line numbers come from ``zipWithIndex`` (file order is partition-ordered
-  by byte offset, so the index reproduces the reference's read order);
+* line numbers come from ``monotonically_increasing_id`` + ``row_number``
+  ordered by (input file name, mid): Spark orders a text scan's splits by
+  length descending ACROSS files but in byte-offset order WITHIN each file,
+  so sorting by file name first restores a deterministic (lexicographic
+  file, byte offset) order for multi-file globs, and single-file reads
+  reproduce the reference's line order exactly;
 * the dense-id ranking is a window over *distinct entities* (not rows) —
   the only global ordering in the build, on the smallest possible input;
 * ``to_local_model`` collects only the compiled synonym table (strings +
@@ -22,6 +26,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
 from typing import Dict, Optional, Sequence
 
 import pandas as pd
@@ -49,17 +54,24 @@ def read_dictionary_file(
     specs: DictSpecs = compile_specs(field_specs)
     # Stable line numbers without leaving the DataFrame API (input_hint:
     # no per-row Python): monotonically_increasing_id encodes the scan
-    # partition index in its high bits and text-file scan partitions are
-    # ordered by (file, byte offset), so ordering by it reproduces file
-    # order; row_number densifies it. The global window runs over the
-    # dictionary only — small by construction (labels, not corpus).
+    # partition index in its high bits; within one file, split partitions
+    # are generated in byte-offset order, but ACROSS files Spark sorts
+    # splits by length descending — so the window orders by (file, _mid)
+    # to get deterministic (lexicographic file, byte offset) line numbers
+    # for multi-file globs too. row_number densifies. The global window
+    # runs over the dictionary only — small by construction (labels, not
+    # corpus).
     raw = (
         spark.read.text(path)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .withColumn("line_id", F.row_number().over(Window.orderBy("_mid")) - 1)
+        .withColumn("_fn", F.input_file_name())
+        .withColumn("line_id", F.row_number().over(Window.orderBy("_fn", "_mid")) - 1)
         .select(F.col("line_id").cast("bigint"), "value")
     )
-    cells = F.split(F.col("value"), column_separator)
+    # F.split's pattern argument is a regex: escape the separator so a
+    # dictionary delimited by '|', '.', or '+' splits literally (the
+    # reference splits literally, model.py:322), not on every character
+    cells = F.split(F.col("value"), re.escape(column_separator))
     cols = [F.col("line_id")]
     for name, (idx, _delim, _n, _v) in specs.fields.items():
         c = F.element_at(cells, idx + 1)
@@ -132,7 +144,10 @@ def attrs_table(rows: DataFrame, fields: Sequence) -> DataFrame:
         col_name = "entity_id" if f.id_flag else f.name
         value = F.col(col_name)
         if f.delimiter:
-            exploded = F.explode(F.array_sort(F.array_distinct(F.split(value, f.delimiter)))).alias("attr_value")
+            # literal split — the delimiter is not a regex (see B1 above)
+            exploded = F.explode(
+                F.array_sort(F.array_distinct(F.split(value, re.escape(f.delimiter))))
+            ).alias("attr_value")
         else:
             exploded = value.alias("attr_value")
         parts.append(

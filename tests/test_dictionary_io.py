@@ -38,6 +38,31 @@ def test_distributed_compile_parity(spark, sample_model):
     assert got_ids == sorted(expected["id_map"])
 
 
+def test_pipe_delimited_dictionary_splits_literally(spark, tmp_path):
+    """Regex-special column separators ('|') and attr delimiters ('+') must
+    split literally, not on every character (the reference splits literally,
+    model.py:322)."""
+    path = str(tmp_path / "pipe_dict.txt")
+    with open(path, "w") as f:
+        f.write("E1|alpha beta|x+y\nE2|gamma|z\n")
+    fields = [
+        {"name": "entity_id", "include": True, "delimiter": None, "id_flag": True, "normalizer_flag": False, "value_flag": False},
+        {"name": "label", "include": True, "delimiter": None, "id_flag": False, "normalizer_flag": False, "value_flag": True},
+        {"name": "tags", "include": True, "delimiter": "+", "id_flag": False, "normalizer_flag": False, "value_flag": False},
+    ]
+    from pilsner_spark.core.normalize import BYPASS
+
+    tables = compile_dictionary_df(
+        spark, path, fields, normalizers={"bypass": BYPASS}, column_separator="|"
+    )
+    syn = sorted((r.line_id, r.entity_id, r.norm_label) for r in tables["synonyms"].collect())
+    assert syn == [(0, "E1", "alpha beta"), (1, "E2", "gamma")]
+    tags = sorted(
+        (r.n, r.attr_value) for r in tables["attrs"].collect() if r.attr_name == "tags"
+    )
+    assert tags == [(0, "x"), (0, "y"), (1, "z")]
+
+
 def test_local_model_roundtrip_parse(spark, sample_model):
     """A model rebuilt from the distributed tables parses identically
     (the golden flagship string) — B14/B15 relational persistence."""

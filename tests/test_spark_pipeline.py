@@ -113,6 +113,27 @@ def test_connected_components(spark):
     assert out["a"] == comp["a"] and out["q"] is not None
 
 
+def test_connected_components_unconverged_flag(spark):
+    """A 30-vertex path graph cannot converge in max_iter=5 hash-to-min
+    rounds: the stats dict must surface the non-convergence instead of
+    silently returning split clusters (no-silent-truncation)."""
+    keys = [f"v{i:02d}" for i in range(30)]
+    edges = spark.createDataFrame(
+        list(zip(keys, keys[1:])), "key_a string, key_b string"
+    )
+    stats = {}
+    connected_components(edges, max_iter=5, stats=stats).collect()
+    assert stats["converged"] is False
+    assert stats["iterations"] == 5
+    assert stats["unconverged_labels"] > 0
+    # same graph with enough rounds converges to one component
+    stats2 = {}
+    comp = connected_components(edges, max_iter=30, stats=stats2).collect()
+    assert stats2["converged"] is True
+    assert stats2["unconverged_labels"] == 0
+    assert len({r.cluster_id for r in comp}) == 1
+
+
 def test_er_pipeline_f1_gate(spark, transcripts, tmp_path):
     """The BASELINE.json gate: pairwise F1 >= 0.99 on labeled pairs at the
     same blocking key, sample-dictionary entity assignments as truth."""
