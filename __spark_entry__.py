@@ -58,9 +58,11 @@ def _flagship_model():
     return model.compile_rows(rows, include_keywords=True)
 
 
-def _mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mention_counts(spark: SparkSession, sf_dir: str, model=None, **scan_kwargs) -> DataFrame:
     """Q4/Q1 distributed scan aggregated per (doc, entity): the mention scan
-    runs through the broadcast automaton; counts make it oracle-checkable."""
+    runs through the broadcast automaton; counts make it oracle-checkable.
+    ``scan_kwargs`` pass through to extract_mentions_df (sharding, attr
+    admission — the B10/Q7 entries reuse this shape)."""
     from pilsner_spark.operators.mentions import extract_mentions_df
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -68,7 +70,7 @@ def _mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("turn_idx"),
         F.col("text"),
     )
-    mentions = extract_mentions_df(docs, _flagship_model())
+    mentions = extract_mentions_df(docs, model if model is not None else _flagship_model(), **scan_kwargs)
     return (
         mentions.select(F.col("conv_id").cast("bigint").alias("doc_id"), F.explode("entity_ids").alias("entity"))
         .groupBy("doc_id", "entity")
@@ -306,6 +308,28 @@ def q_q4_mention_scan(spark, sf_dir):
     """Q4: the multi-pattern span scan (spot_entities, utility.py:399-521)
     distributed over documents, aggregated to oracle-checkable counts."""
     return _mention_counts(spark, sf_dir)
+
+
+def q_q4_sharded_mention_scan(spark, sf_dir):
+    """B10: the q4 scan with the dictionary split across 2 matcher shards
+    (reference item_limit multi-trie, utility.py:192-195): N separate
+    broadcasts, per-shard scans unioned before span merge. Shares q4's
+    oracle verbatim — sharded ≡ unsharded is exactly the claim this entry
+    proves (the flagship vocabulary has no cross-shard partial overlap:
+    'join' inside 'hash join' is nested, which the span merge drops in
+    both paths)."""
+    return _mention_counts(spark, sf_dir, n_matcher_shards=2)
+
+
+def q_q7_attr_admission(spark, sf_dir):
+    """Q7: match admission by attribute predicates (utility.py:381-397,
+    747-769): attrs_where include filter category='op' hoisted to a
+    dictionary pre-filter before broadcast — only 'query'/'join'/'hash
+    join' remain in the automaton; admitted spans equal the reference's
+    per-match rejection because admission never depends on span position."""
+    return _mention_counts(
+        spark, sf_dir, model=_attr_model(), attrs_where={"+": {"category": ["op"]}}
+    )
 
 
 def q_q9_argmax_ties(spark, sf_dir):
@@ -651,7 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b18_stoplist_scan": q_b18_stoplist_scan,
         "q2_semi_anti_filter": q_q2_semi_anti_filter,
         "q4_mention_scan": q_q4_mention_scan,
+        "q4_sharded_mention_scan": q_q4_sharded_mention_scan,
         "q6_attr_fetch": q_q6_attr_fetch,
+        "q7_attr_admission": q_q7_attr_admission,
         "q9_argmax_ties": q_q9_argmax_ties,
         "q10_span_postprocess": q_q10_span_postprocess,
         "er_mentions": q_er_mentions,
@@ -903,6 +929,10 @@ def oracle_sql() -> dict[str, str]:
             "and not exists (select 1 from orders o where o.o_custkey = c.c_custkey and o.o_orderstatus = 'F')"
         ),
         "q4_mention_scan": _mention_oracle(),
+        # B10: sharded ≡ unsharded — q4's oracle verbatim IS the claim
+        "q4_sharded_mention_scan": _mention_oracle(),
+        # Q7: admission keeps only category='op' labels (query/join/hash join)
+        "q7_attr_admission": _mention_oracle(unigrams=("query",), with_join=True),
         "q10_span_postprocess": _Q10_ORACLE,
         "er_mentions": _er_mentions_oracle(),
         # analytic components of the planted corpus (q_er_clusters doc):
