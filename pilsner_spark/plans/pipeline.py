@@ -268,6 +268,84 @@ def evaluate_f1(scored: DataFrame, clusters: DataFrame, truth: DataFrame) -> Dic
     return out
 
 
+def blocking_recall(
+    truth: DataFrame,
+    caught_true_pairs: int,
+    blocks: Optional[DataFrame] = None,
+    clusters: Optional[DataFrame] = None,
+) -> Dict[str, object]:
+    """Fraction of ALL ground-truth positive pairs that blocking put into
+    the candidate table (north_rule audit): every fn/tp count in the F1
+    report is conditional on the pair having been blocked together, so a
+    true pair blocking misses is invisible there — this report makes that
+    loss explicit (fn=0 claims stop being conditional on blocking luck).
+
+    ``caught_true_pairs`` = tp + fn from :func:`evaluate_f1` (same-entity
+    labeled pairs present among candidates). Denominators are analytic —
+    sums of C(g, 2) over group sizes — so no quadratic pair table is ever
+    materialized. Two universes are reported because the north rule's key
+    structurally includes (tool, role):
+
+    * ``recall`` — against same-entity pairs WITH the same (tool, role):
+      the rule-scoped number, isolating genuine blocking luck (token
+      overlap, DF caps, salting, band bucketing) from the deliberate key
+      structure;
+    * ``recall_unscoped`` — against ALL same-entity pairs, quantifying
+      what the (tool, role) key constraint itself excludes.
+
+    With ``blocks`` (the salted block table), a second count restricted to
+    token-family keys splits the recall by key family (band keys carry the
+    'mh<band>#' prefix). With ``clusters``, ``cluster_recall`` /
+    ``cluster_recall_unscoped`` report the fraction of true pairs that END
+    UP in the same cluster — the unconditional end-to-end number:
+    transitive clustering can recover pairs blocking never compared (two
+    surfaces of one entity with disjoint tokens merge through any chain of
+    matched intermediates), so this can exceed blocking recall; both
+    numerators stay analytic (C(g,2) over (cluster, entity) group sizes)."""
+    t = with_turn_key(truth).filter(F.col("planted_entity").isNotNull()).select(
+        "turn_key", "planted_entity", "tool", "role"
+    )
+
+    def pair_total(group_cols) -> int:
+        sizes = t.groupBy(*group_cols).agg(F.count("*").alias("g"))
+        row = sizes.agg(F.sum((F.col("g") * (F.col("g") - 1) / 2).cast("long")).alias("n")).collect()[0]
+        return int(row["n"] or 0)
+
+    total_scoped = pair_total(["planted_entity", "tool", "role"])
+    total_all = pair_total(["planted_entity"])
+    out: Dict[str, object] = {
+        "true_pairs_total": total_all,
+        "true_pairs_same_keyspace": total_scoped,
+        "true_pairs_blocked": int(caught_true_pairs),
+        "recall": round(caught_true_pairs / total_scoped, 6) if total_scoped else 1.0,
+        "recall_unscoped": round(caught_true_pairs / total_all, 6) if total_all else 1.0,
+    }
+    if blocks is not None:
+        token_only = blocks.filter(~F.col("block_key").rlike("^mh[0-9]+#"))
+        tp_pairs = candidate_pairs(token_only)  # dedupe=True: a set, small-side audit
+        caught_token = (
+            tp_pairs.join(t.withColumnRenamed("turn_key", "key_a").withColumnRenamed("planted_entity", "entity_a"), "key_a")
+            .join(t.withColumnRenamed("turn_key", "key_b").withColumnRenamed("planted_entity", "entity_b"), "key_b")
+            .filter(F.col("entity_a") == F.col("entity_b"))
+            .count()
+        )
+        out["token_key_recall"] = round(caught_token / total_scoped, 6) if total_scoped else 1.0
+        out["band_key_recall_gain"] = round(out["recall"] - out["token_key_recall"], 6)
+    if clusters is not None:
+        tc = t.join(clusters.select("turn_key", "cluster_id"), "turn_key")
+
+        def same_cluster_pairs(group_cols) -> int:
+            sizes = tc.groupBy("cluster_id", *group_cols).agg(F.count("*").alias("g"))
+            row = sizes.agg(F.sum((F.col("g") * (F.col("g") - 1) / 2).cast("long")).alias("n")).collect()[0]
+            return int(row["n"] or 0)
+
+        got_scoped = same_cluster_pairs(["planted_entity", "tool", "role"])
+        got_all = same_cluster_pairs(["planted_entity"])
+        out["cluster_recall"] = round(got_scoped / total_scoped, 6) if total_scoped else 1.0
+        out["cluster_recall_unscoped"] = round(got_all / total_all, 6) if total_all else 1.0
+    return out
+
+
 def build_corpus(spark, n_convs: int, seed: int, dictionary: str, n_entities: int, hard_every: Optional[int] = None):
     """Corpus + model for a pipeline run. 'sample' = the pilsner test-suite
     dictionary (golden F1, hot 2-entity blocks — the skew stress case);
@@ -341,6 +419,12 @@ def main() -> None:
     n_pairs = int(result["metrics"]["scored_pairs"]["rows"])
     eval_start = time.time()
     scores = evaluate_f1(result["scored"], result["clusters"], transcripts)
+    recall_report = blocking_recall(
+        transcripts,
+        caught_true_pairs=scores["tp"] + scores["fn"],
+        blocks=result["pipeline"].catalog.read("blocks"),
+        clusters=result["clusters"],
+    )
     eval_wall = time.time() - eval_start
     report = {
         "n_convs": n_convs,
@@ -349,6 +433,7 @@ def main() -> None:
         "wall_seconds": round(wall, 2),
         "pairs_per_second": round(n_pairs / wall, 1),
         "f1_eval_seconds": round(eval_wall, 2),
+        "blocking_recall": recall_report,
         **scores,
         "stages": {k: {kk: v[kk] for kk in ("rows", "wall_seconds", "resumed", "count", "band_keys", "token_keys", "iterations", "converged", "unconverged_labels") if isinstance(v, dict) and kk in v} for k, v in result["metrics"].items()},
     }

@@ -144,6 +144,27 @@ def test_er_pipeline_f1_gate(spark, transcripts, tmp_path):
     # the hard negative must be present: cross-entity pairs in same blocks
     assert scores["tp"] > 0 and scores["labeled_pairs"] > scores["tp"]
 
+    # blocking recall audit (VERDICT r2 item 4): fn=0 above is conditional
+    # on a pair having been blocked together — this measures that condition.
+    from pilsner_spark.plans.pipeline import blocking_recall
+
+    br = blocking_recall(
+        transcripts,
+        caught_true_pairs=scores["tp"] + scores["fn"],
+        blocks=result["pipeline"].catalog.read("blocks"),
+        clusters=result["clusters"],
+    )
+    assert 0 < br["true_pairs_blocked"] <= br["true_pairs_same_keyspace"] <= br["true_pairs_total"]
+    # the audit's raison d'être: blocking recall is NOT total on this corpus
+    # (same-entity surfaces 'it' vs 'awesome white refrigerator' share no
+    # token), and the report must say so rather than hide it behind fn=0
+    assert 0 < br["recall"] < 1, br
+    assert 0 < br["recall_unscoped"] <= br["recall"]
+    assert 0 <= br["token_key_recall"] <= br["recall"]
+    # transitive clustering recovers pairs blocking never compared: the
+    # end-to-end (unconditional) cluster recall must dominate blocking recall
+    assert br["cluster_recall"] >= br["recall"], br
+
 
 def test_er_pipeline_hard_negatives_earn_f1(spark, tmp_path):
     """The similarity features must EARN the F1 (VERDICT r1 item 2): on a
