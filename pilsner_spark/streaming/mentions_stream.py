@@ -67,40 +67,114 @@ def incremental_cluster_assignments(
     workdir: str,
     checkpoint_dir: Optional[str] = None,
 ):
-    """foreachBatch bridge between streaming ingestion and batch clustering.
+    """foreachBatch bridge between streaming ingestion and batch clustering
+    — DELTA connected components, not recompute-the-world.
 
-    Each micro-batch: extract mentions -> per-turn entity sets -> append to
-    the accumulated observation table -> recluster transitively over ALL
-    observations (turns sharing an entity, directly or through a chain,
-    share a cluster) -> overwrite the cluster table. Batch and streaming
-    share one storage layout (plain parquet under ``workdir``), so the
-    batch pipeline's consumers read the same tables.
+    Per micro-batch: extract mentions -> bipartite edges (turn_key,
+    'E#'+entity) -> map every endpoint already assigned a cluster to its
+    CLUSTER ID (connectivity through history is fully summarized by
+    membership, so the old edges never need re-reading) -> run hash-to-min
+    CC on that mini-graph only (O(batch) vertices: fresh keys + touched
+    cluster representatives) -> apply the resulting (old cluster id -> new
+    label) remap to the assignment table with one broadcast join, append
+    fresh-node assignments. Because a cluster id IS the lexicographic-min
+    member key, the mini-CC label (min over old cids + fresh keys) equals
+    the global min of the merged component — identical output to a full
+    recompute over all observations, at per-batch CC cost proportional to
+    the batch, not the history (the remap rewrite is one linear scan of
+    the assignment table with a broadcast hash join; no iterative jobs
+    touch history).
 
-    Clustering uses the bipartite trick: edges (turn_key, entity-node) fed
-    to the same hash-to-min connected components as the batch path — a
-    turn-turn self-join per entity would square the hot entities instead.
+    Storage layout (plain parquet under ``workdir``; batch consumers read
+    the same tables):
+
+    * ``stream_cluster_nodes``   — full assignment incl. entity nodes (the
+      delta-CC state)
+    * ``stream_entity_clusters`` — turn-only view (back-compat output)
+    * ``stream_turn_entities``   — append-only observation log (audit /
+      replay; never read in the hot path)
+    * ``stream_cluster_metrics.jsonl`` — one line per batch
+      {batch_id, batch_edges, mini_vertices, prev_rows, wall_seconds}: the
+      incrementality evidence (mini_vertices tracks the batch, not the
+      accumulated history)
 
     Returns the StreamingQuery (caller awaits/stops it).
     """
+    import json
     import os
+    import time
 
     from pilsner_spark.operators.blocking import with_turn_key
     from pilsner_spark.operators.clustering import connected_components
     from pilsner_spark.operators.mentions import turn_entities_df
 
     obs_path = os.path.join(workdir, "stream_turn_entities")
+    nodes_path = os.path.join(workdir, "stream_cluster_nodes")
     clusters_path = os.path.join(workdir, "stream_entity_clusters")
+    metrics_path = os.path.join(workdir, "stream_cluster_metrics.jsonl")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        start = time.time()
         spark = batch_df.sparkSession
         me = with_turn_key(turn_entities_df(extract_mentions_df(batch_df, model)))
         me.select("turn_key", "mention_entities").write.mode("append").parquet(obs_path)
-        all_obs = spark.read.parquet(obs_path)
-        edges = all_obs.select(
-            F.col("turn_key").alias("key_a"), F.explode("mention_entities").alias("entity")
-        ).select("key_a", F.concat(F.lit("E#"), F.col("entity")).alias("key_b"))
-        comps = connected_components(edges).filter(~F.col("turn_key").startswith("E#"))
-        comps.write.mode("overwrite").parquet(clusters_path)
+        new_edges = (
+            me.select(F.col("turn_key").alias("key_a"), F.explode("mention_entities").alias("entity"))
+            .select("key_a", F.concat(F.lit("E#"), F.col("entity")).alias("key_b"))
+            .localCheckpoint()
+        )
+        if os.path.exists(nodes_path):
+            prev = spark.read.parquet(nodes_path)
+        else:
+            prev = spark.createDataFrame([], "node_key string, cluster_id string")
+        prev_rows = prev.count()
+
+        # endpoint -> its current cluster representative (itself when fresh);
+        # the two prev lookups are single-pass joins — no iterative job ever
+        # touches the accumulated history
+        mini_edges = (
+            new_edges.join(prev.withColumnRenamed("node_key", "key_a").withColumnRenamed("cluster_id", "rep_a"), "key_a", "left")
+            .join(prev.withColumnRenamed("node_key", "key_b").withColumnRenamed("cluster_id", "rep_b"), "key_b", "left")
+            .select(
+                F.coalesce("rep_a", F.col("key_a")).alias("key_a"),
+                F.coalesce("rep_b", F.col("key_b")).alias("key_b"),
+            )
+            .localCheckpoint()
+        )
+        minicc = connected_components(mini_edges).localCheckpoint()  # (turn_key=node-or-cid, cluster_id=new label)
+        mini_vertices = minicc.count()
+        remap = F.broadcast(
+            minicc.select(F.col("turn_key").alias("old_cid"), F.col("cluster_id").alias("new_cid"))
+        )
+        updated_prev = (
+            prev.join(remap, prev.cluster_id == F.col("old_cid"), "left")
+            .select("node_key", F.coalesce("new_cid", "cluster_id").alias("cluster_id"))
+        )
+        # fresh nodes = mini-graph vertices not yet in the assignment table
+        # (an old cid is always also a member node, so the anti-join keeps
+        # exactly the never-seen keys)
+        fresh = (
+            minicc.withColumnRenamed("turn_key", "node_key")
+            .join(prev.select("node_key"), "node_key", "left_anti")
+        )
+        nodes = updated_prev.unionByName(fresh).localCheckpoint()  # materialize BEFORE overwriting the read path
+        nodes.write.mode("overwrite").parquet(nodes_path)
+        nodes.filter(~F.col("node_key").startswith("E#")).withColumnRenamed(
+            "node_key", "turn_key"
+        ).write.mode("overwrite").parquet(clusters_path)
+        with open(metrics_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "batch_id": int(batch_id),
+                        "batch_edges": new_edges.count(),
+                        "mini_vertices": int(mini_vertices),
+                        "prev_rows": int(prev_rows),
+                        "wall_seconds": round(time.time() - start, 3),
+                    }
+                )
+                + "\n"
+            )
 
     # foreachBatch consumes the RAW stream; mentions are derived inside the
     # callback (the streaming plan's mention output is not reusable there).
