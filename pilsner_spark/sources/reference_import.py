@@ -128,6 +128,19 @@ def import_reference_model(
         kw = tolerant_pickle_load(f)
 
     model = CompiledModel(word_separator=norm_meta.get(WORD_SEPARATOR_KEY, " "))
+    tokenizer_option = norm_meta.get(TOKENIZER_OPTION_KEY, 0) or 0
+    report["tokenizer_option"] = int(tokenizer_option)
+    if tokenizer_option != 0:
+        # The engine pins tokenizer_option=0 (SURVEY §2.4: always 0 in the
+        # reference's tests/examples). A model compiled under a nonzero
+        # option would import but normalize differently at query time —
+        # say so instead of silently diverging.
+        _LOG.warning(
+            "import_reference_model: model was compiled with tokenizer_option=%s; "
+            "this engine implements option 0 semantics — query-time normalization "
+            "may diverge from the originating pipeline",
+            tokenizer_option,
+        )
     payloads = norm_meta.get(NORMALIZER_KEY, {}) or {}
     ref_units = list(payloads)
     for unit in ref_units:

@@ -274,6 +274,27 @@ def test_opaque_payload_degrades_loudly(tmp_path):
     prefix = _write_reference_files(tmp_path)  # default payloads: b"<sic payload>"
     imported = import_reference_model(prefix, normalizer_map={"tokenizer1": "t1", "tokenizer2": "t2"})
     assert imported.import_report["units"] == {"t1": "bypass", "t2": "bypass"}
+    assert imported.import_report["tokenizer_option"] == 0
+
+
+def test_nonzero_tokenizer_option_is_flagged(tmp_path, caplog):
+    import logging
+
+    prefix = _write_reference_files(tmp_path)
+    with open(f"{prefix}.normalizers", "wb") as f:
+        pickle.dump(
+            {
+                DEFAULT_NORMALIZER_KEY: "t1",
+                WORD_SEPARATOR_KEY: " ",
+                TOKENIZER_OPTION_KEY: 3,
+                NORMALIZER_KEY: {"t1": T1_PAYLOAD, "t2": T2_PAYLOAD},
+            },
+            f,
+        )
+    with caplog.at_level(logging.WARNING, logger="pilsner_spark.sources.reference_import"):
+        imported = import_reference_model(prefix, normalizer_map={"tokenizer1": "t1", "tokenizer2": "t2"})
+    assert imported.import_report["tokenizer_option"] == 3
+    assert any("tokenizer_option=3" in r.message for r in caplog.records)
 
 
 def test_simple_model_without_idmap_keeps_lines_distinct(tmp_path):
