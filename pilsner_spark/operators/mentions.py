@@ -46,6 +46,7 @@ def extract_mentions_df(
     passthrough_cols: tuple = (),
     spread: bool = True,
     n_matcher_shards: Optional[int] = None,
+    progress=None,
 ) -> DataFrame:
     """Scan every turn's text against the broadcast model.
 
@@ -65,6 +66,10 @@ def extract_mentions_df(
     scan kernel costs far more per row than the repartition that unlocks
     every core — spread the input to full parallelism when it arrives
     narrower (same reasoning as session.py's scan budget, one level up).
+
+    ``progress``: a :class:`~pilsner_spark.operators.progress.ProgressReporter`
+    — the kernel adds per-Arrow-batch row counts to its accumulator for
+    throttled in-flight percent callbacks (Q12, utility.py:449-454).
     """
     spark = df.sparkSession
     if spread and not df.isStreaming:  # streaming plans cannot be inspected/repartitioned this way
@@ -98,10 +103,14 @@ def extract_mentions_df(
         MENTION_SCHEMA.fields + [df.schema[c] for c in extra]
     )
 
+    progress_acc = progress.acc if progress is not None else None
+
     def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = bc.value
         shards = None if shard_bcs is None else [b.value for b in shard_bcs]
         for pdf in batches:
+            if progress_acc is not None:
+                progress_acc.add(len(pdf))
             rows = {k: [] for k in base_cols + extra}
             extra_vals = [pdf[c] for c in extra]
             for i, (conv_id, turn_idx, text) in enumerate(zip(pdf["conv_id"], pdf["turn_idx"], pdf[text_col])):
@@ -130,12 +139,13 @@ def normalized_text_df(
     text_col: str = "text",
     out_col: str = "norm_text",
     spread: bool = True,
+    progress=None,
 ) -> DataFrame:
     """Append the normalized form of ``text_col`` under one normalization
     unit (default: the model's default unit) — an Arrow-batched pandas UDF
     over the pure normalization kernel. ``spread`` as in
-    ``extract_mentions_df``: Python kernels must not inherit a single-
-    partition scan of a well-compressed text file."""
+    ``extract_mentions_df``; ``progress`` as in ``extract_mentions_df``
+    (in-flight Q12 percent callbacks)."""
     spark = df.sparkSession
     if spread and not df.isStreaming:  # streaming plans cannot be inspected/repartitioned this way
         target = spark.sparkContext.defaultParallelism
@@ -145,10 +155,13 @@ def normalized_text_df(
     cfg = model.normalizers[unit_name]
     sep = model.word_separator
     bc = spark.sparkContext.broadcast((cfg, sep))
+    progress_acc = progress.acc if progress is not None else None
 
     @F.pandas_udf(T.StringType())
     def norm_udf(texts: pd.Series) -> pd.Series:
         c, s = bc.value
+        if progress_acc is not None:
+            progress_acc.add(len(texts))
         return texts.map(lambda t: normalize_with_map(t, c, s).normalized if t else "")
 
     return df.withColumn(out_col, norm_udf(F.col(text_col)))

@@ -96,6 +96,47 @@ def test_blocking_and_salting(spark):
     assert pairs.count() > 0
 
 
+def test_progress_reporter_throttle_and_final(spark):
+    """Q12: throttled percent callbacks (reference utility.py:186-191) —
+    integer-percent movement gates reports; a closing report always fires."""
+    import time as _time
+
+    from pilsner_spark.operators.progress import ProgressReporter
+
+    calls = []
+    with ProgressReporter(
+        spark, lambda *a: calls.append(a), total=100, label="stage", min_interval=0.0, poll_interval=0.05
+    ) as p:
+        p.acc.add(10)
+        _time.sleep(0.3)
+        p.acc.add(40)
+        _time.sleep(0.3)
+    assert calls, "no progress callbacks fired"
+    labels = {c[0] for c in calls}
+    assert labels == {"stage"}
+    dones = [c[1] for c in calls]
+    assert dones == sorted(dones)
+    assert calls[-1] == ("stage", 50, 100, 50)  # closing report with final counts
+    pcts = [c[3] for c in calls]
+    assert 10 in pcts  # in-flight report before the final one
+
+
+def test_mention_scan_inflight_progress(spark, model, transcripts):
+    """Q12 end-to-end: the Arrow scan kernel feeds the accumulator; the
+    reporter's closing callback carries the full input row count."""
+    from pilsner_spark.operators.progress import ProgressReporter
+
+    n = transcripts.count()
+    calls = []
+    with ProgressReporter(
+        spark, lambda *a: calls.append(a), total=n, label="mentions", min_interval=0.0, poll_interval=0.05
+    ) as p:
+        extract_mentions_df(transcripts, model, progress=p).write.format("noop").mode("overwrite").save()
+    assert calls[-1][1] == n and calls[-1][3] == 100
+    dones = [c[1] for c in calls]
+    assert dones == sorted(dones)
+
+
 def test_connected_components(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y")], "key_a string, key_b string"
