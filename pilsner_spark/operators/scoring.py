@@ -163,3 +163,151 @@ def match_edges(scored: DataFrame) -> DataFrame:
     # candidate_pairs(dedupe=False)); deduping here touches only the small
     # edge set instead of the full pair table
     return scored.filter(F.col("is_match")).select("key_a", "key_b").distinct()
+
+
+# -- split scored plan -------------------------------------------------------
+#
+# The single-pass score_pairs above ships EVERY pair row through the
+# ArrowEvalPython node for the JW UDF, even though the masked inputs are
+# null on the (typically ~100%) decided rows — linear and vectorized, but
+# a measurable per-row serialization + pipeline-barrier tax on the
+# dominant stage. The checkpointing pipeline can do better because the
+# base table is materialized anyway: stage 1 computes the cheap set
+# features with NO Python in the plan (pure whole-stage codegen), stage 2
+# re-reads the checkpoint with a PUSHED undecided=true filter and runs the
+# character-level kernels on that slice only. This is a plan split rather
+# than a conditional because `F.when(cond, udf(...))` evaluates the UDF on
+# all rows (see the masking note in score_pairs) — and a same-plan
+# filter+union would recompute the join subtree twice (Catalyst does not
+# materialize common subtrees).
+
+
+def undecided_expr(jaccard_threshold: float = 0.6):
+    """Rows where the cheap set features leave the match decision open: a
+    shared-entity pair matches regardless; a pair far below the jaccard
+    gate cannot reach it (0.5 safety factor, same margin score_pairs uses)."""
+    return ~F.col("shared_entity") & (F.col("jaccard") >= jaccard_threshold * 0.5)
+
+
+def score_pairs_base(
+    pairs: DataFrame,
+    features: DataFrame,
+    jaccard_threshold: float = 0.6,
+    broadcast_features: bool = False,
+) -> DataFrame:
+    """Stage 1 of the split plan: set features for every candidate pair —
+    (shared_entity, conflicting_entities, jaccard, undecided). Plan shape:
+    scan -> two (broadcast) hash joins -> project; zero Python, zero extra
+    Exchange when ``broadcast_features``."""
+
+    def side(suffix: str) -> DataFrame:
+        return features.select(
+            F.col("turn_key").alias(f"key_{suffix}"),
+            F.col("htokens").alias(f"htokens_{suffix}"),
+            F.col("mention_entities").alias(f"entities_{suffix}"),
+        )
+
+    fa, fb = side("a"), side("b")
+    if broadcast_features:
+        fa, fb = F.broadcast(fa), F.broadcast(fb)
+    return (
+        pairs.join(fa, "key_a")
+        .join(fb, "key_b")
+        .withColumn("shared_entity", F.arrays_overlap("entities_a", "entities_b"))
+        .withColumn(
+            "conflicting_entities",
+            (F.size("entities_a") > 0) & (F.size("entities_b") > 0) & ~F.col("shared_entity"),
+        )
+        .withColumn("jaccard", token_jaccard(F.col("htokens_a"), F.col("htokens_b")))
+        .withColumn("undecided", undecided_expr(jaccard_threshold))
+        .select("key_a", "key_b", "shared_entity", "conflicting_entities", "jaccard", "undecided")
+    )
+
+
+def jw_scores_for_undecided(
+    base: DataFrame, features: DataFrame, broadcast_features: bool = False
+) -> DataFrame:
+    """Stage 2: Jaro-Winkler + Levenshtein on the undecided slice only.
+    Reading ``base`` from its checkpoint pushes undecided=true into the
+    parquet scan; the slice is deduplicated (duplicate pairs from
+    candidate_pairs(dedupe=False) would otherwise multiply rows through
+    the later join-back) and norm_text arrives via two (broadcast) hash
+    joins sized by the slice, not the pair table."""
+    und = (
+        base.filter(F.col("undecided"))
+        .select("key_a", "key_b", "conflicting_entities", "jaccard")
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    na = features.select(F.col("turn_key").alias("key_a"), F.col("norm_text").alias("norm_a"))
+    nb = features.select(F.col("turn_key").alias("key_b"), F.col("norm_text").alias("norm_b"))
+    if broadcast_features:
+        na, nb = F.broadcast(na), F.broadcast(nb)
+    return (
+        und.join(na, "key_a")
+        .join(nb, "key_b")
+        .withColumns(
+            {
+                "lev_ratio": F.coalesce(levenshtein_ratio(F.col("norm_a"), F.col("norm_b")), F.lit(0.0)),
+                "jw": F.coalesce(jaro_winkler_udf(F.col("norm_a"), F.col("norm_b")), F.lit(0.0)),
+            }
+        )
+        .select("key_a", "key_b", "conflicting_entities", "jaccard", "lev_ratio", "jw")
+    )
+
+
+def split_match_edges(
+    base: DataFrame,
+    jw_scores: DataFrame,
+    jw_threshold: float = 0.92,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Match edges without joining the slice back to the pair table:
+    decided matches are exactly the shared-entity pairs (jw=0 elsewhere),
+    similarity matches live entirely in the jw slice (which carries its
+    own jaccard/conflict columns). The two sets are disjoint by
+    construction (the slice is ~shared_entity); distinct() collapses
+    duplicate pairs on the small edge set, as match_edges does."""
+    shared = base.filter(F.col("shared_entity")).select("key_a", "key_b")
+    sim = jw_scores.filter(
+        ~F.col("conflicting_entities")
+        & (F.col("jw") >= jw_threshold)
+        & (F.col("jaccard") >= jaccard_threshold)
+    ).select("key_a", "key_b")
+    return shared.union(sim).distinct()
+
+
+def finalize_scored(
+    base: DataFrame,
+    jw_scores: DataFrame,
+    jw_threshold: float = 0.92,
+    jaccard_threshold: float = 0.6,
+    broadcast_jw: bool = True,
+) -> DataFrame:
+    """The full scored view with score_pairs' exact schema: base pairs
+    left-joined to the (deduplicated) jw slice — a broadcast hash join
+    when the slice fits (``broadcast_jw``), so consumers needing per-pair
+    jw/lev columns pay one map-side join, never a shuffle of |pairs|."""
+    j = jw_scores.select("key_a", "key_b", "lev_ratio", "jw")
+    if broadcast_jw:
+        j = F.broadcast(j)
+    return (
+        base.join(j, ["key_a", "key_b"], "left")
+        .withColumns(
+            {
+                "lev_ratio": F.coalesce("lev_ratio", F.lit(0.0)),
+                "jw": F.coalesce("jw", F.lit(0.0)),
+            }
+        )
+        .withColumn(
+            "is_match",
+            F.col("shared_entity")
+            | (
+                ~F.col("conflicting_entities")
+                & (F.col("jw") >= jw_threshold)
+                & (F.col("jaccard") >= jaccard_threshold)
+            ),
+        )
+        .select(
+            "key_a", "key_b", "shared_entity", "conflicting_entities", "jaccard", "lev_ratio", "jw", "is_match"
+        )
+    )
