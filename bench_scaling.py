@@ -113,6 +113,7 @@ def main() -> None:
         "blocks",
         "candidate_pairs",
         "scored_pairs",
+        "jw_scores",
         "entity_clusters",
     ]
     samples_n = ", ".join(str(r["pairs_per_second"]) for r in runs_n)
