@@ -493,6 +493,22 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     return minhash_candidate_pairs(minhash_bands(_t(spark, sf_dir, "documents"), num_hashes=6, band_size=2))
 
 
+def q_dedup_minhash_oversized(spark, sf_dir):
+    """The no-silent-truncation companion to dedup_minhash_pairs: band keys
+    whose bucket exceeds the cap (here an artificially low cap=1 — every
+    multi-document band — so the report provably carries rows at oracle
+    scale: the default 200 yields an empty, vacuously-green check on this
+    corpus, whose largest band bucket is 3) with their sizes.
+    Callers surface this next to the pairs, as the ER path does for salted
+    blocks."""
+    from pilsner_spark.operators.dedup import minhash_bands, oversized_band_report
+
+    return oversized_band_report(
+        minhash_bands(_t(spark, sf_dir, "documents"), num_hashes=6, band_size=2),
+        max_bucket_size=1,
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from pilsner_spark.operators.dedup import _spread_input, simhash
 
@@ -685,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_bands": q_dedup_minhash_bands,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_minhash_oversized": q_dedup_minhash_oversized,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -979,6 +996,11 @@ def oracle_sql() -> dict[str, str]:
             "select distinct a.doc_id as id_a, b.doc_id as id_b "
             "from bands a join bands b using (band_key) join ok_bands using (band_key) "
             "where a.doc_id < b.doc_id"
+        ),
+        "dedup_minhash_oversized": _MINHASH_CTE
+        + (
+            "select band_key, count(distinct doc_id) as bucket_size from bands "
+            "group by band_key having count(distinct doc_id) > 1"
         ),
         "dedup_simhash": (
             "with toks as (select doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x != '')) as ts from documents), "

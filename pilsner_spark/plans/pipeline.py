@@ -351,6 +351,9 @@ def blocking_recall(
         "recall_unscoped": round(caught_true_pairs / total_all, 6) if total_all else 1.0,
     }
     if blocks is not None:
+        # the family split re-generates token-only candidate pairs WITH a
+        # distinct — measured ~2x the whole F1 eval at 203M pairs / 2 cores.
+        # It is an audit, so callers gate it by pair volume (see main()).
         token_only = blocks.filter(~F.col("block_key").rlike("^mh[0-9]+#"))
         tp_pairs = candidate_pairs(token_only)  # dedupe=True: a set, small-side audit
         caught_token = (
@@ -449,10 +452,13 @@ def main() -> None:
     n_pairs = int(result["metrics"]["scored_pairs"]["rows"])
     eval_start = time.time()
     scores = evaluate_f1(result["scored"], result["clusters"], transcripts)
+    # family-split recount regenerates the token-pair set; worth it as an
+    # audit below ~50M pairs, skipped (keys absent from the report) above
+    family_split = n_pairs <= 50_000_000
     recall_report = blocking_recall(
         transcripts,
         caught_true_pairs=scores["tp"] + scores["fn"],
-        blocks=result["pipeline"].catalog.read("blocks"),
+        blocks=result["pipeline"].catalog.read("blocks") if family_split else None,
         clusters=result["clusters"],
     )
     eval_wall = time.time() - eval_start
