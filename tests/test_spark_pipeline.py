@@ -237,6 +237,46 @@ def test_er_pipeline_hard_negatives_earn_f1(spark, tmp_path):
     assert hardneg.count() > 0
 
 
+def test_split_plan_matches_single_pass_scorer(spark, model, transcripts, tmp_path):
+    """The split scored plan (base + undecided-slice JW + join-back) must
+    produce row-for-row the same scored table and the same match edges as
+    the single-pass score_pairs — on the sample corpus, whose ambiguous
+    surfaces exercise shared-entity, conflict-veto AND similarity paths."""
+    from pilsner_spark.operators.mentions import extract_mentions_df
+    from pilsner_spark.operators.scoring import (
+        finalize_scored,
+        jw_scores_for_undecided,
+        match_edges,
+        score_pairs,
+        score_pairs_base,
+        split_match_edges,
+        turn_features,
+    )
+    from pilsner_spark.sources.synth import pipeline_input
+
+    turns = with_turn_key(normalized_text_df(pipeline_input(transcripts), model))
+    blocks, _ = salt_oversized_blocks(token_blocks(turns), 400, 16)
+    pairs = candidate_pairs(blocks, dedupe=False)
+    feats = turn_features(turns, with_turn_key(turn_entities_df(extract_mentions_df(transcripts, model))))
+    # materialize like the pipeline does (the split reads base from parquet)
+    base_path = str(tmp_path / "base")
+    score_pairs_base(pairs, feats, broadcast_features=True).write.parquet(base_path)
+    base = spark.read.parquet(base_path)
+    jw = jw_scores_for_undecided(base, feats, broadcast_features=True).localCheckpoint()
+    assert jw.count() > 0, "corpus must exercise the undecided slice"
+
+    split = finalize_scored(base, jw)
+    single = score_pairs(pairs, feats, broadcast_features=True)
+    cols = ["key_a", "key_b", "shared_entity", "conflicting_entities", "jaccard", "lev_ratio", "jw", "is_match"]
+    a = sorted(map(tuple, split.select(*cols).collect()))
+    b = sorted(map(tuple, single.select(*cols).collect()))
+    assert a == b
+
+    e_split = sorted(map(tuple, split_match_edges(base, jw).collect()))
+    e_single = sorted(map(tuple, match_edges(single).collect()))
+    assert e_split == e_single and len(e_split) > 0
+
+
 def test_pipeline_resume(spark, transcripts, tmp_path):
     """Second run with identical params resumes every stage from checkpoint;
     a changed param invalidates downstream stages."""
