@@ -2,12 +2,16 @@
 
 Images/audio/video ride through the engine as ``binary`` columns plus a
 metadata struct; the Spark-side machinery (schema, Arrow batch shape,
-partition sizing, UDF signatures) is real and tested. The actual codec
-calls are STUBBED: this container has no image/audio libraries, so
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic byte-derived feature vector stands in — letting the
-downstream operators (dedup by feature cosine, ANN over extracted
-embeddings) be exercised end-to-end.
+partition sizing, UDF signatures) is real and tested. Decoding is REAL
+for the uncompressed formats a pure numpy parser can handle — PPM (P6),
+PGM (P5), and 24-bit uncompressed BMP (``decode_image_array``), with
+nearest-neighbor ``resize_nearest`` — and real pixel features flow through
+``extract_features_df`` for those payloads. Compressed codecs (JPEG/PNG/
+audio/video) are STUBBED: this container has no codec libraries, so
+``decode_image`` raises NotImplementedError for them unless ``fake=True``,
+in which case a deterministic byte-derived feature vector stands in —
+letting the downstream operators (dedup by feature cosine, ANN over
+extracted embeddings) be exercised end-to-end either way.
 
 At 100 TB the operative concerns encoded here:
 * binary payloads are NEVER shuffled with their features — feature
@@ -20,8 +24,10 @@ At 100 TB the operative concerns encoded here:
 
 from __future__ import annotations
 
-from typing import Iterator, List
+import struct
+from typing import Iterator, List, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,17 +47,96 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def _ppm_tokens(payload: bytes, n: int) -> Tuple[List[int], int]:
+    """First *n* whitespace-separated integer tokens after the magic,
+    skipping '#' comments; returns (values, offset-past-last-token)."""
+    vals: List[int] = []
+    i = 2  # past magic
+    while len(vals) < n:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        vals.append(int(payload[i:j]))
+        i = j
+    return vals, i + 1  # single whitespace after maxval precedes the raster
+
+
+def decode_image_array(payload: bytes) -> np.ndarray:
+    """REAL decode (pure numpy, no codec libraries) of uncompressed image
+    formats: binary PPM ('P6', RGB), binary PGM ('P5', grayscale replicated
+    to 3 channels), and 24-bit uncompressed BMP. Returns an (H, W, 3)
+    uint8 array. Compressed formats raise NotImplementedError — entropy
+    decoding needs codec libraries this environment does not ship."""
+    magic = payload[:2]
+    if magic in (b"P6", b"P5"):
+        (w, h, maxval), off = _ppm_tokens(payload, 3)
+        if maxval > 255:
+            raise NotImplementedError("16-bit-per-sample PPM/PGM not supported")
+        ch = 3 if magic == b"P6" else 1
+        raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=off)
+        img = raster.reshape(h, w, ch)
+        return np.repeat(img, 3, axis=2) if ch == 1 else img
+    if magic == b"BM":
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError("only 24-bit uncompressed BMP is supported")
+        stride = (w * 3 + 3) // 4 * 4
+        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * abs(h), offset=data_off)
+        img = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+        if h > 0:
+            img = img[::-1]  # positive height = bottom-up row order
+        return img[:, :, ::-1].copy()  # BGR -> RGB
+    raise NotImplementedError(
+        "payload is not an uncompressed PPM/PGM/BMP; compressed formats (JPEG/PNG/...) "
+        "need codec libraries not present in this environment"
+    )
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy index maps) — the standard
+    cheap pre-embedding normalization step."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def pixel_features(img: np.ndarray) -> List[float]:
+    """16-dim feature vector from decoded pixels: per-channel means,
+    luminance std (all /255), then a 12-bin luminance histogram."""
+    f = img.astype(np.float64)
+    lum = f.mean(axis=2)
+    hist, _ = np.histogram(lum, bins=FEATURE_DIM - 4, range=(0.0, 255.0))
+    hist = hist / max(1, lum.size)
+    head = [f[..., c].mean() / 255.0 for c in range(3)] + [lum.std() / 255.0]
+    return [round(float(x), 6) for x in head + list(hist)]
+
+
 def decode_image(payload: bytes, fake: bool = False) -> List[float]:
     """Decode + feature-extract one image payload.
 
-    STUB: real decoding needs PIL/libvips (absent here). ``fake=True``
-    yields a deterministic 16-dim byte-histogram feature — same signature,
-    same downstream shape."""
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an image library not present in this environment; "
-            "pass fake=True for the deterministic byte-histogram stand-in"
-        )
+    Uncompressed PPM/PGM/BMP payloads decode for real (numpy parser,
+    ``decode_image_array``) and yield ``pixel_features``. Other formats
+    need codec libraries absent from this environment: they raise
+    NotImplementedError, or — with ``fake=True`` — fall back to a
+    deterministic 16-dim byte-histogram stand-in (same signature, same
+    downstream shape)."""
+    try:
+        return pixel_features(decode_image_array(payload))
+    except (NotImplementedError, ValueError, IndexError, struct.error):
+        # unsupported format, or a recognized magic with corrupt/truncated
+        # content — strict mode surfaces it, fake mode falls back
+        if not fake:
+            raise
     hist = [0] * FEATURE_DIM
     for b in payload:
         hist[b % FEATURE_DIM] += 1

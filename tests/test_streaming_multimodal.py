@@ -81,6 +81,78 @@ def test_multimodal_decode_stub_contract():
     assert f == decode_image(b"abcabc", fake=True)
 
 
+def _ppm(w, h, pixels):
+    """Binary P6 payload from an (h, w, 3) nested list."""
+    raster = bytes(c for row in pixels for px in row for c in px)
+    return b"P6\n# comment\n" + f"{w} {h}\n255\n".encode() + raster
+
+
+def _bmp24(w, h, pixels_topdown_rgb):
+    """Minimal 24-bit uncompressed BMP (bottom-up rows, BGR, 4-byte padded)."""
+    import struct as _s
+
+    stride = (w * 3 + 3) // 4 * 4
+    raster = b""
+    for row in reversed(pixels_topdown_rgb):  # bottom-up
+        line = bytes(c for (r, g, b) in row for c in (b, g, r))  # BGR
+        raster += line + b"\x00" * (stride - len(line))
+    header = b"BM" + _s.pack("<IHHI", 14 + 40 + len(raster), 0, 0, 14 + 40)
+    dib = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return header + dib + raster
+
+
+def test_real_decode_ppm_pgm_bmp():
+    """decode_image_array is REAL for uncompressed formats: exact pixels
+    back out, BMP bottom-up/BGR/padding handled, PGM replicated to 3ch."""
+    import numpy as np
+
+    from pilsner_spark.operators.multimodal import decode_image_array, pixel_features, resize_nearest
+
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]  # 2x2 RGB
+    ppm = decode_image_array(_ppm(2, 2, px))
+    assert ppm.shape == (2, 2, 3) and ppm.tolist() == [[list(p) for p in row] for row in px]
+
+    bmp = decode_image_array(_bmp24(2, 2, px))
+    assert bmp.tolist() == ppm.tolist()  # same image through a different container
+
+    pgm = b"P5\n2 1\n255\n" + bytes([7, 250])
+    g = decode_image_array(pgm)
+    assert g.tolist() == [[[7, 7, 7], [250, 250, 250]]]
+
+    # real features differ from the byte-histogram stand-in and are stable
+    f = decode_image(_ppm(2, 2, px), fake=False)  # no stub path needed
+    assert f == pixel_features(ppm) and len(f) == 16
+    # resize: nearest-neighbor, exact corner preservation
+    big = resize_nearest(ppm, 4, 4)
+    assert big.shape == (4, 4, 3)
+    assert big[0, 0].tolist() == [255, 0, 0] and big[3, 3].tolist() == [10, 20, 30]
+
+
+def test_real_decode_in_features_df(spark):
+    """A real PPM payload flows through the Arrow extract path with true
+    pixel features; non-image payloads in the same batch fall back."""
+    from pyspark.sql import types as T
+
+    from pilsner_spark.operators.multimodal import pixel_features, decode_image_array
+
+    ppm = _ppm(2, 2, [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]])
+    rows = [(0, bytearray(ppm), "image", 2, 2, 0), (1, bytearray(b"not an image"), "image", 0, 0, 0)]
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.IntegerType()),
+        ]
+    )
+    media = spark.createDataFrame(rows, schema)
+    got = {r.media_id: r.features for r in extract_features_df(media, fake=True).collect()}
+    assert got[0] == pixel_features(decode_image_array(ppm))
+    assert got[1] != got[0] and len(got[1]) == 16  # stand-in path for the non-image
+
+
 def test_multimodal_features_df(spark):
     media = synthetic_media(spark, n=60)
     feats = extract_features_df(media)
