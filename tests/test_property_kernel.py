@@ -115,3 +115,40 @@ def test_reduce_spans_invariants(segments):
     for a, b in zip(srt, srt[1:]):
         assert not (a[0] <= b[0] <= a[1]), (a, b)
     assert out == reduce_spans(set(segments))
+
+
+# -- sic payload interpreter (sources/sic_payload) ---------------------------
+
+_payload_leaves = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(-5, 300),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=40),
+    st.binary(max_size=40),
+)
+_payloads = st.recursive(
+    _payload_leaves,
+    lambda children: st.one_of(
+        st.lists(children, max_size=5),
+        st.dictionaries(st.text(max_size=12), children, max_size=5),
+        st.dictionaries(st.sampled_from(["cs", "from", "to", "value", "where", "type", "rules"]), children, max_size=5),
+    ),
+    max_leaves=25,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_payloads)
+def test_parse_sic_payload_total(payload):
+    """parse_sic_payload must be TOTAL over arbitrary nested payloads —
+    imports of unknown model files degrade, never crash — and when it does
+    return a config, that config must normalize without raising."""
+    from pilsner_spark.core.normalize import normalize
+    from pilsner_spark.sources.sic_payload import parse_sic_payload
+
+    cfg, status = parse_sic_payload(payload)
+    assert status in ("parsed", "opaque")
+    assert (cfg is None) == (status == "opaque")
+    if cfg is not None:
+        normalize("some sample_text, with punct!", cfg)
