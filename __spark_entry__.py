@@ -531,6 +531,16 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_dedup_embedding_ivf(spark, sf_dir):
+    """The IVF-bucketed scale path for embedding near-dup: same threshold
+    as the brute baseline, pairs generated only within nearest-centroid
+    cells (deterministic sample centroids keep the oracle exact). Output
+    is a subset of dedup_embedding_cosine by construction."""
+    from pilsner_spark.operators.dedup import embedding_neardup_pairs_ivf
+
+    return embedding_neardup_pairs_ivf(_t(spark, sf_dir, "embeddings"), threshold=0.4, n_cells=16)
+
+
 # -- ANN ---------------------------------------------------------------------
 
 
@@ -705,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_ivf": q_dedup_embedding_ivf,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_stats": q_text_stats,
@@ -1022,6 +1033,17 @@ def oracle_sql() -> dict[str, str]:
             "select a.vec_id as id_a, b.vec_id as id_b, round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) as cosine "
             "from embeddings a, embeddings b where a.vec_id < b.vec_id "
             "and round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) >= 0.4"
+        ),
+        "dedup_embedding_ivf": (
+            "with centroids as (select vec_id as cell, embedding as c_vec from embeddings order by vec_id limit 16), "
+            "assign as (select vec_id, cell from (select v.vec_id, c.cell, "
+            "  row_number() over (partition by v.vec_id order by round(list_cosine_similarity(cast(c.c_vec as double[]), cast(v.embedding as double[])), 6) desc, c.cell asc) as r "
+            "  from embeddings v, centroids c) where r = 1) "
+            "select a.vec_id as id_a, b.vec_id as id_b, "
+            "round(list_cosine_similarity(cast(va.embedding as double[]), cast(vb.embedding as double[])), 6) as cosine "
+            "from assign a join assign b on a.cell = b.cell and a.vec_id < b.vec_id "
+            "join embeddings va on va.vec_id = a.vec_id join embeddings vb on vb.vec_id = b.vec_id "
+            "where round(list_cosine_similarity(cast(va.embedding as double[]), cast(vb.embedding as double[])), 6) >= 0.4"
         ),
         "ann_brute_topk": (
             "with scored as (select q.vec_id as query_id, v.vec_id as neighbor_id, "

@@ -10,6 +10,8 @@ as ER blocking applies.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -212,6 +214,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_neardup_pairs_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    centroids: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Scale path for embedding-cosine near-dup: IVF-bucketed candidate
+    generation. Vectors are assigned to their nearest centroid cell ONCE
+    (linear, broadcast centroids — operators.ann.ivf_assign), and pairs
+    are generated only WITHIN a cell: the full N^2 cross join becomes a
+    cell-partitioned self-join bounded by the largest cell, the same
+    blocking shape as the token/minhash dedup families. Recall trade-off
+    (a true near-dup pair split across a cell boundary is missed) is the
+    standard IVF one — measured by operators.ann.recall_at_k on the same
+    assignment; raise n_cells granularity or probe neighboring cells when
+    it matters. The assignment is materialized (localCheckpoint) so the
+    self-join does not recompute the centroid scan twice."""
+    from pilsner_spark.functions.similarity import cosine_similarity
+    from pilsner_spark.operators.ann import ivf_assign
+
+    assign = ivf_assign(df, n_cells, id_col, vec_col, centroids=centroids)
+    tagged = (
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        .join(assign, "vec_id")
+        .localCheckpoint()
+    )
+    a = tagged.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "cell")
+    b = tagged.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), "cell")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("vec_a").cast("array<double>"), F.col("vec_b").cast("array<double>")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -219,8 +263,8 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute force over the full
-    cross product — the correctness baseline; the LSH/IVF path in
-    operators.ann is the scale path)."""
+    cross product — the correctness baseline; embedding_neardup_pairs_ivf
+    and operators.ann are the scale paths)."""
     from pilsner_spark.functions.similarity import cosine_similarity
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))

@@ -132,3 +132,16 @@ def test_text_functions_edge_cases(spark):
     assert out[2].s == 1.0
     assert out[3].p == pytest.approx(2 / 5)
     assert all(0.0 <= r.q <= 1.0 for r in out)
+
+
+def test_embedding_ivf_neardup_subset_of_brute(spark, vectors):
+    """The IVF-bucketed near-dup scale path: every reported pair is a true
+    brute-force pair (exact cosine, no false positives), and the clustered
+    fixture keeps same-angle vectors in shared cells so recall is high."""
+    from pilsner_spark.operators.dedup import embedding_neardup_pairs, embedding_neardup_pairs_ivf
+
+    brute = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(vectors, threshold=0.98).collect()}
+    ivf = {(r.id_a, r.id_b) for r in embedding_neardup_pairs_ivf(vectors, threshold=0.98, n_cells=8).collect()}
+    assert ivf <= brute
+    assert brute, "fixture must produce near-dup pairs"
+    assert len(ivf) / len(brute) >= 0.5, (len(ivf), len(brute))
