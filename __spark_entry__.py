@@ -533,12 +533,16 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 def q_dedup_embedding_ivf(spark, sf_dir):
     """The IVF-bucketed scale path for embedding near-dup: same threshold
-    as the brute baseline, pairs generated only within nearest-centroid
-    cells (deterministic sample centroids keep the oracle exact). Output
-    is a subset of dedup_embedding_cosine by construction."""
+    as the brute baseline, candidates generated where one side's home cell
+    is among the other's n_probe=2 nearest cells (deterministic sample
+    centroids keep the oracle exact). Output is a subset of
+    dedup_embedding_cosine by construction; multi-probe recovers
+    cell-boundary pairs single-cell bucketing misses."""
     from pilsner_spark.operators.dedup import embedding_neardup_pairs_ivf
 
-    return embedding_neardup_pairs_ivf(_t(spark, sf_dir, "embeddings"), threshold=0.4, n_cells=16)
+    return embedding_neardup_pairs_ivf(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_cells=16, n_probe=2
+    )
 
 
 # -- ANN ---------------------------------------------------------------------
@@ -1036,13 +1040,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_embedding_ivf": (
             "with centroids as (select vec_id as cell, embedding as c_vec from embeddings order by vec_id limit 16), "
-            "assign as (select vec_id, cell from (select v.vec_id, c.cell, "
+            "ranked as (select vec_id, cell, r from (select v.vec_id, c.cell, "
             "  row_number() over (partition by v.vec_id order by round(list_cosine_similarity(cast(c.c_vec as double[]), cast(v.embedding as double[])), 6) desc, c.cell asc) as r "
-            "  from embeddings v, centroids c) where r = 1) "
-            "select a.vec_id as id_a, b.vec_id as id_b, "
+            "  from embeddings v, centroids c) where r <= 2), "
+            "home as (select vec_id as id_h, cell from ranked where r = 1), "
+            "pairs as (select distinct least(p.vec_id, h.id_h) as id_a, greatest(p.vec_id, h.id_h) as id_b "
+            "  from ranked p join home h using (cell) where p.vec_id != h.id_h) "
+            "select id_a, id_b, "
             "round(list_cosine_similarity(cast(va.embedding as double[]), cast(vb.embedding as double[])), 6) as cosine "
-            "from assign a join assign b on a.cell = b.cell and a.vec_id < b.vec_id "
-            "join embeddings va on va.vec_id = a.vec_id join embeddings vb on vb.vec_id = b.vec_id "
+            "from pairs join embeddings va on va.vec_id = id_a join embeddings vb on vb.vec_id = id_b "
             "where round(list_cosine_similarity(cast(va.embedding as double[]), cast(vb.embedding as double[])), 6) >= 0.4"
         ),
         "ann_brute_topk": (

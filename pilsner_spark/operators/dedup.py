@@ -220,34 +220,67 @@ def embedding_neardup_pairs_ivf(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_cells: int = 16,
+    n_probe: int = 1,
     centroids: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Scale path for embedding-cosine near-dup: IVF-bucketed candidate
     generation. Vectors are assigned to their nearest centroid cell ONCE
     (linear, broadcast centroids — operators.ann.ivf_assign), and pairs
-    are generated only WITHIN a cell: the full N^2 cross join becomes a
-    cell-partitioned self-join bounded by the largest cell, the same
-    blocking shape as the token/minhash dedup families. Recall trade-off
-    (a true near-dup pair split across a cell boundary is missed) is the
-    standard IVF one — measured by operators.ann.recall_at_k on the same
-    assignment; raise n_cells granularity or probe neighboring cells when
-    it matters. The assignment is materialized (localCheckpoint) so the
-    self-join does not recompute the centroid scan twice."""
-    from pilsner_spark.functions.similarity import cosine_similarity
-    from pilsner_spark.operators.ann import ivf_assign
+    are generated only within shared cells: the full N^2 cross join
+    becomes a cell-partitioned join bounded by the largest cell, the same
+    blocking shape as the token/minhash dedup families.
 
-    assign = ivf_assign(df, n_cells, id_col, vec_col, centroids=centroids)
-    tagged = (
-        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-        .join(assign, "vec_id")
-        .localCheckpoint()
-    )
-    a = tagged.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "cell")
-    b = tagged.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), "cell")
+    ``n_probe`` recovers boundary losses the way IVF search does: each
+    vector additionally PROBES its n_probe nearest cells, and a pair
+    qualifies when either side's home (top-1) cell is among the other's
+    probed cells — a true near-dup pair split across a cell boundary is
+    found as long as one side probes the other's cell. Cost: the probe
+    table is n_probe x N rows (still linear), the top-p ranking is one
+    window over the N x C broadcast cross join (vs the max_by shape at
+    n_probe=1), and candidates dedupe before the cosine. Residual recall
+    loss is the standard IVF one — measured by the subset-of-brute test;
+    raise n_probe or n_cells granularity when it matters."""
+    from pilsner_spark.functions.similarity import cosine_similarity
+    from pilsner_spark.operators.ann import ivf_assign, sample_centroids
+
+    v = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    if n_probe <= 1:
+        assign = ivf_assign(df, n_cells, id_col, vec_col, centroids=centroids)
+        tagged = v.join(assign, "vec_id").localCheckpoint()
+        a = tagged.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "cell")
+        b = tagged.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), "cell")
+        cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b")).drop("cell")
+    else:
+        from pyspark.sql import Window
+
+        if centroids is None:
+            centroids = sample_centroids(df, n_cells, id_col, vec_col)
+        scored = F.broadcast(centroids).crossJoin(v).withColumn(
+            "cos",
+            F.round(cosine_similarity(F.col("c_vec").cast("array<double>"), F.col("vec").cast("array<double>")), 6),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+        ranked = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= n_probe).select(
+            "vec_id", "cell", "r"
+        ).localCheckpoint()
+        home = ranked.filter(F.col("r") == 1).select(F.col("vec_id").alias("id_h"), "cell")
+        probes = ranked.select(F.col("vec_id").alias("id_p"), "cell")
+        # either orientation qualifies; normalize to id_a < id_b and dedupe
+        # the (small) candidate set BEFORE the cosine arithmetic
+        pairs = (
+            probes.join(home, "cell")
+            .filter(F.col("id_p") != F.col("id_h"))
+            .select(
+                F.least("id_p", "id_h").alias("id_a"), F.greatest("id_p", "id_h").alias("id_b")
+            )
+            .distinct()
+        )
+        cand = (
+            pairs.join(v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
+            .join(v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
+        )
     return (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
+        cand.withColumn(
             "cosine",
             F.round(cosine_similarity(F.col("vec_a").cast("array<double>"), F.col("vec_b").cast("array<double>")), 6),
         )

@@ -145,3 +145,6 @@ def test_embedding_ivf_neardup_subset_of_brute(spark, vectors):
     assert ivf <= brute
     assert brute, "fixture must produce near-dup pairs"
     assert len(ivf) / len(brute) >= 0.5, (len(ivf), len(brute))
+    # multi-probe recovers cell-boundary pairs: recall is monotone in n_probe
+    ivf2 = {(r.id_a, r.id_b) for r in embedding_neardup_pairs_ivf(vectors, threshold=0.98, n_cells=8, n_probe=2).collect()}
+    assert ivf <= ivf2 <= brute, (len(ivf), len(ivf2), len(brute))
