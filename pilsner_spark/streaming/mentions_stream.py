@@ -16,6 +16,11 @@ shape a production deployment needs when transcripts arrive as a feed:
 * ``streaming_exact_dedup`` — custom stateful operator
   (``applyInPandasWithState``): first-occurrence pass-through keyed by
   text hash; duplicates arriving in any later micro-batch are dropped.
+* ``streaming_minhash_neardup_pairs`` — stateful NEAR-dup candidate
+  detection: LSH band buckets keep their member set in the state store, so
+  a document arriving in any later micro-batch is paired against every
+  earlier member of its bucket — the streaming counterpart of
+  ``operators.dedup.minhash_candidate_pairs``.
 """
 
 from __future__ import annotations
@@ -220,6 +225,99 @@ def streaming_exact_dedup(
         dedup_fn,
         outputStructType=out_schema,
         stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def streaming_minhash_neardup_pairs(
+    stream_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    seed: int = 7,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup candidate pairs as a custom stateful
+    operator — the continuous-ingestion counterpart of
+    ``operators.dedup.minhash_candidate_pairs``.
+
+    Shape: the signature/band computation is the SAME JVM-side expression
+    pipeline as batch (``dedup.minhash_bands`` — stateless per row, so
+    streaming-safe), then ``groupBy(band_key).applyInPandasWithState``
+    keeps each bucket's member-id set in the state store. A new arrival is
+    paired against every member already in its bucket — same micro-batch
+    or any earlier one — then joins the set. Output rows:
+
+    * ``kind='pair'``    — (id_a < id_b, band_key) candidate near-dup pair
+    * ``kind='dropped'`` — id_a arrived after the bucket hit
+      ``max_bucket_size``; no pairs were emitted for it IN THIS BUCKET
+      (the no-silent-truncation marker, mirroring
+      ``oversized_band_report``)
+
+    Scale/state design for 10^12 turns: state per band key is the member
+    id list CAPPED at ``max_bucket_size`` plus a drop counter — bounded
+    regardless of how degenerate the bucket gets, and keyed by band_key so
+    lookups are partition-local. Semantic difference from batch, stated
+    plainly: batch drops a saturated bucket WHOLESALE (it sees the final
+    size up front); streaming has already emitted the first members' pairs
+    before saturation is knowable, so it keeps the first
+    ``max_bucket_size`` members' pairs and marks later arrivals dropped.
+    On unsaturated corpora the distinct (id_a, id_b) sets are identical
+    (pinned by test). Pairs can repeat across bands (one per shared band,
+    band_key disambiguates); a streaming-global distinct would need a
+    second unbounded state store, so pair-level dedup is the downstream
+    batch consumer's one ``distinct()``, exactly as in the batch path.
+    """
+    import json
+
+    import pandas as pd
+
+    from pilsner_spark.operators.dedup import minhash_bands
+
+    bands = minhash_bands(
+        stream_df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+        seed=seed,
+    )
+
+    def pair_fn(key, pdf_iter, state):
+        band_key = key[0]
+        if state.exists:
+            members_json, n_dropped = state.get
+            members = json.loads(members_json)
+        else:
+            members, n_dropped = [], 0
+        seen = set(members)
+        pairs, dropped = [], []
+        new_ids = set()
+        for pdf in pdf_iter:
+            new_ids.update(pdf["doc_id"].tolist())
+        for d in sorted(new_ids - seen):  # sorted: deterministic in-batch order
+            if len(members) >= max_bucket_size:
+                n_dropped += 1
+                dropped.append(d)
+                continue
+            pairs.extend((d, m) if d < m else (m, d) for m in members)
+            members.append(d)
+            seen.add(d)
+        state.update((json.dumps(members), n_dropped))
+        rows = [("pair", a, b, band_key) for a, b in pairs] + [
+            ("dropped", d, None, band_key) for d in dropped
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["kind", "id_a", "id_b", "band_key"])
+
+    return bands.groupBy("band_key").applyInPandasWithState(
+        pair_fn,
+        outputStructType="kind string, id_a string, id_b string, band_key string",
+        stateStructType="members_json string, n_dropped int",
         outputMode="append",
         timeoutConf="NoTimeout",
     )

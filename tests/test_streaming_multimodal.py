@@ -323,3 +323,85 @@ def test_incremental_clustering_is_incremental(spark, model, tmp_path):
     # cross-batch transitivity: batch-0 and batch-4 entity1 turns share a cluster
     assert inc["c0_0#0"] == inc["c4_2#0"]
     assert inc["c0_x#0"] != inc["c0_0#0"]
+
+
+def test_streaming_minhash_neardup_stateful(spark, tmp_path):
+    """Stateful LSH near-dup pairs: (1) distinct pair set over one drained
+    run equals the batch minhash_candidate_pairs output (unsaturated
+    corpus); (2) a doc arriving in a later run pairs against a bucket
+    member persisted in the state store; (3) saturation emits 'dropped'
+    markers, never silent loss."""
+    from pilsner_spark.operators.dedup import minhash_bands, minhash_candidate_pairs
+    from pilsner_spark.streaming.mentions_stream import streaming_minhash_neardup_pairs
+
+    schema = "doc_id string, text string"
+    base = [
+        ("d1", "the quick brown fox jumps over the lazy dog tonight"),
+        ("d2", "the quick brown fox jumps over the lazy dog tonight"),  # exact dup of d1
+        ("d3", "completely different text about spark structured streaming state"),
+    ]
+    later = [("d4", "the quick brown fox jumps over the lazy dog tonight")]
+
+    src = str(tmp_path / "nd_in")
+    ckpt = str(tmp_path / "nd_ckpt")
+    sink = str(tmp_path / "nd_out")
+    spark.createDataFrame(base, schema).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = (
+            streaming_minhash_neardup_pairs(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink)
+
+    out1 = run()
+    got_pairs = {
+        (r.id_a, r.id_b) for r in out1.filter("kind = 'pair'").select("id_a", "id_b").distinct().collect()
+    }
+    batch_df = spark.createDataFrame(base, schema)
+    want_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(minhash_bands(batch_df)).collect()
+    }
+    assert got_pairs == want_pairs == {("d1", "d2")}
+    assert out1.filter("kind = 'dropped'").count() == 0
+
+    # cross-run: d4 (exact dup of d1/d2) pairs against BOTH earlier members
+    # via state persisted in the checkpoint; earlier pairs are not re-emitted
+    spark.createDataFrame(later, schema).write.mode("append").parquet(src)
+    out2 = run()
+    got2 = {
+        (r.id_a, r.id_b) for r in out2.filter("kind = 'pair'").select("id_a", "id_b").distinct().collect()
+    }
+    assert got2 == {("d1", "d2"), ("d1", "d4"), ("d2", "d4")}
+    n_d1d2 = out2.filter("kind = 'pair' and id_a = 'd1' and id_b = 'd2'").count()
+    assert n_d1d2 == out1.filter("kind = 'pair' and id_a = 'd1' and id_b = 'd2'").count()
+
+    # saturation: cap 2 -> the 3rd+ member of every bucket gets a dropped
+    # marker and no pairs; first two members' pair survives (prefix semantics)
+    sink_s = str(tmp_path / "nd_out_sat")
+    ckpt_s = str(tmp_path / "nd_ckpt_sat")
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_minhash_neardup_pairs(stream, max_bucket_size=2)
+        .writeStream.format("parquet")
+        .option("path", sink_s)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt_s)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out_s = spark.read.parquet(sink_s)
+    sat_pairs = {(r.id_a, r.id_b) for r in out_s.filter("kind = 'pair'").select("id_a", "id_b").distinct().collect()}
+    assert sat_pairs == {("d1", "d2")}
+    dropped = {r.id_a for r in out_s.filter("kind = 'dropped'").select("id_a").distinct().collect()}
+    assert dropped == {"d4"}
+    assert out_s.filter("kind = 'dropped' and id_b is not null").count() == 0
