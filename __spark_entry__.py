@@ -493,6 +493,19 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     return minhash_candidate_pairs(minhash_bands(_t(spark, sf_dir, "documents"), num_hashes=6, band_size=2))
 
 
+def q_dedup_minhash_groups(spark, sf_dir):
+    """The dedup DECISION layered on the candidate pairs: transitive
+    near-dup groups (connected components over the pair graph) with the
+    min-id canonical and group size — keep rule is doc_id == canonical_id.
+    Oracle: recursive-CTE reachability closure over the same capped pair
+    derivation (component min == min over the reachable set)."""
+    from pilsner_spark.operators.dedup import minhash_bands, minhash_candidate_pairs, neardup_groups
+
+    return neardup_groups(
+        minhash_candidate_pairs(minhash_bands(_t(spark, sf_dir, "documents"), num_hashes=6, band_size=2))
+    )
+
+
 def q_dedup_minhash_oversized(spark, sf_dir):
     """The no-silent-truncation companion to dedup_minhash_pairs: band keys
     whose bucket exceeds the cap (here an artificially low cap=1 — every
@@ -715,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_bands": q_dedup_minhash_bands,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_minhash_groups": q_dedup_minhash_groups,
         "dedup_minhash_oversized": q_dedup_minhash_oversized,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1011,6 +1025,21 @@ def oracle_sql() -> dict[str, str]:
             "select distinct a.doc_id as id_a, b.doc_id as id_b "
             "from bands a join bands b using (band_key) join ok_bands using (band_key) "
             "where a.doc_id < b.doc_id"
+        ),
+        # reachability closure (recursive CTE): min over the reachable set
+        # == the connected component's min id, so this re-derives the
+        # Spark-side CC result without modeling the hash-to-min iteration
+        "dedup_minhash_groups": _MINHASH_CTE.replace("with toks as", "with recursive toks as", 1)
+        + (
+            ", ok_bands as (select band_key from bands group by band_key having count(distinct doc_id) <= 200)"
+            ", pairs as (select distinct a.doc_id as id_a, b.doc_id as id_b"
+            "   from bands a join bands b using (band_key) join ok_bands using (band_key)"
+            "   where a.doc_id < b.doc_id)"
+            ", edges as (select id_a as a, id_b as b from pairs union select id_b, id_a from pairs)"
+            ", reach(d, x) as (select a, a from edges union select r.d, e.b from reach r join edges e on e.a = r.x)"
+            ", lab as (select d as doc_id, min(x) as canonical_id from reach group by d) "
+            "select l.doc_id, l.canonical_id, s.group_size from lab l "
+            "join (select canonical_id, count(*) as group_size from lab group by canonical_id) s using (canonical_id)"
         ),
         "dedup_minhash_oversized": _MINHASH_CTE
         + (

@@ -309,3 +309,29 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def neardup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """The dedup DECISION: near-dup group membership from candidate pairs.
+
+    Connected components over the pair graph (near-dup similarity is not
+    transitive, but dedup keep/drop must be — a doc chained to a kept doc
+    through near-dups should not survive), canonical = the group's minimum
+    id, plus the group size. Output (doc_id, canonical_id, group_size);
+    keep rule downstream: ``doc_id == canonical_id``. Singleton docs (no
+    candidate pair) are not returned — they are all keepers.
+
+    Scale shape: CC runs on the near-dup EDGE set — O(duplicates), orders
+    of magnitude below the corpus — and the size join is one linear
+    aggregation of the component table; nothing here touches the full
+    document table (reference: pilsner has no dedup; this extends the
+    engine for training-data pipelines).
+    """
+    from pilsner_spark.operators.clustering import connected_components
+
+    edges = pairs.select(F.col(id_a).alias("key_a"), F.col(id_b).alias("key_b"))
+    comp = connected_components(edges).select(
+        F.col("turn_key").alias("doc_id"), F.col("cluster_id").alias("canonical_id")
+    )
+    sizes = comp.groupBy("canonical_id").agg(F.count("*").alias("group_size"))
+    return comp.join(sizes, "canonical_id").select("doc_id", "canonical_id", "group_size")

@@ -148,3 +148,26 @@ def test_embedding_ivf_neardup_subset_of_brute(spark, vectors):
     # multi-probe recovers cell-boundary pairs: recall is monotone in n_probe
     ivf2 = {(r.id_a, r.id_b) for r in embedding_neardup_pairs_ivf(vectors, threshold=0.98, n_cells=8, n_probe=2).collect()}
     assert ivf <= ivf2 <= brute, (len(ivf), len(ivf2), len(brute))
+
+
+def test_neardup_groups_transitive_decision(spark):
+    """neardup_groups turns pairs into the keep/drop decision: chained
+    near-dups collapse into ONE group labeled by the min id (transitivity,
+    even though pairwise similarity is not transitive), group_size counts
+    members, and singleton docs never appear (they are all keepers)."""
+    from pilsner_spark.operators.dedup import neardup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)],  # chain 1-2-3 (no 1-3 pair) + pair 10-11
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.doc_id, r.canonical_id, r.group_size)
+        for r in neardup_groups(pairs).collect()
+    }
+    assert got == {
+        (1, 1, 3), (2, 1, 3), (3, 1, 3),  # chain closed transitively
+        (10, 10, 2), (11, 10, 2),
+    }
+    keepers = {d for d, c, _ in got if d == c}
+    assert keepers == {1, 10}
