@@ -529,6 +529,16 @@ def q_dedup_simhash(spark, sf_dir):
     return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("simhash"))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Hamming-LSH candidate pairs over the 16-bit SimHash: chunk buckets
+    (4 x 4 bits), <=200 cap, exact bit_count(xor) filter at distance <= 3
+    — by pigeonhole (3 differing bits touch at most 3 of the 4 chunks)
+    this equals the brute-force pair set without the n^2 cross join."""
+    from pilsner_spark.operators.dedup import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from pilsner_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -731,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_groups": q_dedup_minhash_groups,
         "dedup_minhash_oversized": q_dedup_minhash_oversized,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_ivf": q_dedup_embedding_ivf,
@@ -764,6 +775,13 @@ with toks as (
   from toks
 )
 """
+
+_SIMHASH_CTE = (
+    "with toks as (select doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x != '')) as ts from documents), "
+    "bits as (select doc_id, b, sum(case when cast(concat('0x', substr(md5(concat(t.tok, '@11@', cast(b as varchar))), 1, 15)) as bigint) % 2 = 1 then 1 else -1 end) as s "
+    "from (select doc_id, unnest(ts) as tok from toks) t, generate_series(0, 15) as g(b) group by doc_id, b), "
+    "sig as (select doc_id, cast(sum(case when s > 0 then cast(pow(2, b) as bigint) else 0 end) as bigint) as simhash from bits group by doc_id) "
+)
 
 _MINHASH_CTE = """
 with toks as (
@@ -1046,11 +1064,20 @@ def oracle_sql() -> dict[str, str]:
             "select band_key, count(distinct doc_id) as bucket_size from bands "
             "group by band_key having count(distinct doc_id) > 1"
         ),
-        "dedup_simhash": (
-            "with toks as (select doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x != '')) as ts from documents), "
-            "bits as (select doc_id, b, sum(case when cast(concat('0x', substr(md5(concat(t.tok, '@11@', cast(b as varchar))), 1, 15)) as bigint) % 2 = 1 then 1 else -1 end) as s "
-            "from (select doc_id, unnest(ts) as tok from toks) t, generate_series(0, 15) as g(b) group by doc_id, b) "
-            "select doc_id, cast(sum(case when s > 0 then cast(pow(2, b) as bigint) else 0 end) as bigint) as simhash from bits group by doc_id"
+        "dedup_simhash": _SIMHASH_CTE + "select doc_id, simhash from sig",
+        # chunk-bucketed Hamming LSH, mirrored exactly: same (chunk, value)
+        # bucket derivation, same <=200 bucket cap, same bit_count(xor)
+        # distance filter — with max_hamming = n_chunks-1 the pigeonhole
+        # guarantee makes this the full brute-force pair set
+        "dedup_simhash_pairs": _SIMHASH_CTE
+        + (
+            ", chunks as (select doc_id, simhash, c, (simhash >> (4*c)) & 15 as cv from sig, generate_series(0, 3) as g(c))"
+            ", ok as (select c, cv from chunks group by c, cv having count(distinct doc_id) between 2 and 200)"
+            ", cand as (select distinct a.doc_id as id_a, b.doc_id as id_b, a.simhash as sa, b.simhash as sb"
+            "   from chunks a join chunks b on a.c = b.c and a.cv = b.cv"
+            "   join ok on ok.c = a.c and ok.cv = a.cv where a.doc_id < b.doc_id) "
+            "select id_a, id_b, cast(bit_count(xor(sa, sb)) as int) as hamming "
+            "from cand where bit_count(xor(sa, sb)) <= 3"
         ),
         "dedup_ngram_jaccard": _SHINGLES_CTE
         + (

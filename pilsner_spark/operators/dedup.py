@@ -176,6 +176,75 @@ def simhash(text_col, bits: int = 16, seed: int = 11):
     return out
 
 
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    n_chunks: int = 4,
+    max_hamming: int = 3,
+    seed: int = 11,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """SimHash near-dup pairs via chunk-bucketed Hamming LSH — the
+    signature-space twin of ``minhash_candidate_pairs``.
+
+    The ``bits``-bit signature splits into ``n_chunks`` equal chunks; docs
+    sharing any (chunk index, chunk value) bucket are candidates, then the
+    exact Hamming distance (``bit_count(xor)``) filters to
+    ``<= max_hamming``. Pigeonhole guarantee: a pair at distance ``d <=
+    n_chunks - 1`` differs in at most ``n_chunks - 1`` chunks, so at least
+    one chunk matches — with the default ``max_hamming = n_chunks - 1`` the
+    output is EXACTLY the brute-force pair set (no recall loss), found with
+    one bucketing shuffle instead of an n^2 cross join.
+
+    Physical shape mirrors minhash_candidate_pairs: groupBy chunk_key,
+    in-bucket higher-order pair expansion over (doc_id, signature) structs
+    (signature rides along for the Hamming filter — no join back), buckets
+    above ``max_bucket_size`` dropped (same recall-trade-off caveat; at
+    ``bits=16`` a chunk has 16 distinct values, so web-scale corpora want
+    ``bits=64``/``n_chunks=8`` where buckets spread over 256 values per
+    chunk and the cap bounds the degenerate ones)."""
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sig = _spread_input(df).select(
+        F.col(id_col).alias("doc_id"), simhash(F.col(text_col), bits=bits, seed=seed).alias("sh")
+    )
+    chunks = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "#",
+                        F.lit(str(c)),
+                        F.shiftright("sh", c * chunk_bits).bitwiseAND(F.lit(mask)).cast("string"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_key"),
+    )
+    buckets = (
+        chunks.groupBy("chunk_key")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "sh"))).alias("members"))
+        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket_size))
+    )
+    pairs = buckets.select(F.explode(_bucket_pairs(F.col("members"))).alias("p")).select(
+        F.col("p.id_a.doc_id").alias("id_a"),
+        F.col("p.id_a.sh").alias("sh_a"),
+        F.col("p.id_b.doc_id").alias("id_b"),
+        F.col("p.id_b.sh").alias("sh_b"),
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

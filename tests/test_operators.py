@@ -171,3 +171,42 @@ def test_neardup_groups_transitive_decision(spark):
     }
     keepers = {d for d, c, _ in got if d == c}
     assert keepers == {1, 10}
+
+
+def test_simhash_pairs_equal_brute_force(spark):
+    """Pigeonhole exactness of the chunk-bucketed Hamming LSH: with
+    max_hamming = n_chunks - 1 and no saturated bucket, the LSH pair set
+    equals brute force (cross join + bit_count(xor) filter) — id pairs AND
+    the hamming values themselves."""
+    from pyspark.sql import functions as F
+
+    from pilsner_spark.operators.dedup import simhash, simhash_candidate_pairs
+
+    texts = [
+        "spark shuffle partitions control parallelism of wide stages",
+        "spark shuffle partitions control parallelism of wide stage",
+        "spark shuffle partition controls parallelism for wide stages",
+        "an entirely different document about entity resolution blocking",
+        "an entirely different document about entity resolution blocks",
+        "watermark handling for late events in structured streaming",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.hamming) for r in simhash_candidate_pairs(df).collect()
+    }
+    sig = df.select("doc_id", simhash(F.col("text"), bits=16).alias("sh"))
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute
+    assert got  # non-vacuous: the near-identical texts must collide
