@@ -73,6 +73,19 @@ CHECKS = {
         ],
         "avoid": [("no sort-merge self-join", r"SortMergeJoin")],
     },
+    # same shuffle budget as the minhash twin: ONE bucketing shuffle on the
+    # chunk key, in-bucket higher-order expansion, Hamming filter in codegen
+    "dedup_simhash_pairs": {
+        "want": [
+            ("one bucketing shuffle", r"hashpartitioning\(chunk_key"),
+            ("in-bucket expansion (generate), not self-join", r"Generate"),
+            ("whole-stage codegen (or AQE runtime-compiled)", r"codegen id|AdaptiveSparkPlan"),
+        ],
+        "avoid": [
+            ("no sort-merge self-join", r"SortMergeJoin"),
+            ("no Python anywhere (pure JVM signature + filter)", r"ArrowEvalPython|BatchEvalPython|MapInPandas"),
+        ],
+    },
     "window_top_orders": {
         "want": [
             ("single window shuffle", r"hashpartitioning\(o_custkey"),
