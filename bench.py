@@ -23,7 +23,9 @@ HEADLINE = [
     "b12_keyword_collisions",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_minhash_groups",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "ann_brute_topk",
     "ann_ivf_topk",
