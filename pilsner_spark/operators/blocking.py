@@ -138,7 +138,10 @@ def salt_oversized_blocks(
 
 
 def candidate_pairs(
-    blocks: DataFrame, broadcast_blocks: bool = False, dedupe: bool = True
+    blocks: DataFrame,
+    broadcast_blocks: bool = False,
+    dedupe: bool = True,
+    spread_to: int = 0,
 ) -> DataFrame:
     """Unordered turn pairs co-occurring in any block.
 
@@ -155,8 +158,15 @@ def candidate_pairs(
     cheaper than shuffling all of them, and downstream consumers dedupe the
     far smaller match-edge set instead. Keep True when callers need the
     pair table itself to be a set.
+
+    ``spread_to`` (>0) repartitions the STREAMING side only: a narrow
+    block-table checkpoint scan yields fewer partitions than cores, so the
+    map-side join and everything downstream of it would underparallelize.
+    The broadcast side must NOT pay that shuffle — it is collected into one
+    hash relation regardless of partitioning (repartitioning it first, as a
+    caller-side repartition of ``blocks`` would, is a pure-waste exchange).
     """
-    a = blocks.alias("a")
+    a = (blocks.repartition(spread_to) if spread_to > 0 else blocks).alias("a")
     b = F.broadcast(blocks.alias("b")) if broadcast_blocks else blocks.alias("b")
     pairs = (
         a.join(b, "block_key")

@@ -89,6 +89,7 @@ def run_er_pipeline(
     use_minhash_blocks: bool = True,
     minhash_num_hashes: int = 16,
     minhash_band_size: int = 2,
+    fuse_pairs: bool = False,
 ) -> Dict[str, object]:
     """Full ER run over a transcripts DataFrame (input_hint schema).
 
@@ -116,6 +117,7 @@ def run_er_pipeline(
         # stage); also versions the checkpoint schema so pre-split workdirs
         # recompute instead of resuming into the wrong layout
         "scoring_plan": "split-v2",
+        "fuse_pairs": fuse_pairs,
         "model": model.config_json(),
     }
     pipe = Pipeline(spark, workdir, params)
@@ -153,17 +155,6 @@ def run_er_pipeline(
         }
         return salted
 
-    def spread(df: DataFrame, rows: int, rows_per_task: int = 1_000_000) -> DataFrame:
-        """Row-budget repartition after a checkpoint read — for tables so
-        small/compressed that even the lowered scan budget (session.py:
-        SPARK_GRAFT_MAX_PARTITION_BYTES, 8MB) yields fewer partitions than cores (e.g.
-        the block table: ~5 bytes/row). The shuffle moves only MBs. Large
-        row-dense tables (the pair table) do NOT come through here: their
-        scan already parallelizes under the 16MB budget, and a repartition
-        shuffle at |pairs| scale measurably dominates the stage."""
-        target = max(spark.sparkContext.defaultParallelism, rows // rows_per_task)
-        return df.repartition(target)
-
     blocks = pipe.stage("blocks", build_blocks)
     # broadcast decisions from checkpoint lineage (no extra count jobs):
     # per-turn/per-block side tables are O(turns) while pairs are
@@ -178,12 +169,34 @@ def run_er_pipeline(
     # (turn_key ~14 B + block_key ~30 B) that a JVM hash relation roughly
     # doubles — call it 96 B/row built. Default cap 512 MB ≈ 5.6M rows.
     bcast_blocks = 0 < n_blocks * 96 <= broadcast_block_bytes
-    pairs = pipe.stage(
-        "candidate_pairs",
-        lambda: candidate_pairs(
-            spread(blocks, n_blocks, 100_000), broadcast_blocks=bcast_blocks, dedupe=False
-        ),
-    )
+
+    def build_pairs() -> DataFrame:
+        # Row-budget spread of the streaming side (inside candidate_pairs):
+        # the block table dictionary-compresses to a few bytes/row, so even
+        # the lowered scan budget (session.py SPARK_GRAFT_MAX_PARTITION_BYTES,
+        # 8MB) yields fewer partitions than cores after the checkpoint read.
+        # The shuffle moves only MBs; the |pairs|-sized output never
+        # repartitions (a repartition at pair scale measurably dominates).
+        return candidate_pairs(
+            blocks,
+            broadcast_blocks=bcast_blocks,
+            dedupe=False,
+            spread_to=max(spark.sparkContext.defaultParallelism, n_blocks // 100_000),
+        )
+
+    # The pair table is the largest intermediate (O(block_size x turns) rows
+    # of two short keys) and the scored stage is its only consumer.
+    # fuse_pairs skips its checkpoint and feeds the unmaterialized self-join
+    # plan straight into score_pairs_base: one full write+read of |pairs|
+    # rows disappears from the wall at the cost of resume granularity (a
+    # restart recomputes pairs inside the scored stage — which is the next
+    # stage anyway, so the extra work on resume is just the block self-join).
+    # pairs_scored reporting is unaffected: it reads scored_pairs lineage.
+    if fuse_pairs:
+        pairs = build_pairs()
+        pipe.metrics["candidate_pairs"] = {"fused": True}
+    else:
+        pairs = pipe.stage("candidate_pairs", build_pairs)
     features = turn_features(turns, mention_entities)
     # Split scored plan (VERDICT r2 item 2): stage 1 is pure codegen (no
     # ArrowEvalPython over |pairs|); stage 2 re-reads the checkpoint with
@@ -421,6 +434,8 @@ def main() -> None:
     parser.add_argument("--entities", type=int, default=2000)
     parser.add_argument("--max-token-df", type=int, default=None, help="drop blocking tokens with document frequency above this (filler-stopword cap)")
     parser.add_argument("--hard-every", type=int, default=None, help="every Nth conversation is a hard-slice template conversation (sample dictionary only)")
+    parser.add_argument("--fuse-pairs", action="store_true", help="skip the candidate-pair checkpoint; feed the self-join plan straight into scoring (less I/O, coarser resume)")
+    parser.add_argument("--skip-eval", action="store_true", help="skip the (untimed) F1 + recall audit pass — for timing-only A/B runs; never use when reporting quality numbers")
     args = parser.parse_args()
 
     from pilsner_spark.session import get_spark
@@ -444,23 +459,25 @@ def main() -> None:
     ).save()
 
     start = time.time()
-    result = run_er_pipeline(spark, args.workdir, transcripts, model=model, max_token_df=args.max_token_df)
+    result = run_er_pipeline(spark, args.workdir, transcripts, model=model, max_token_df=args.max_token_df, fuse_pairs=args.fuse_pairs)
     wall = time.time() - start  # the pipeline (all stages materialized)
     # row counts come from stage lineage — no extra count jobs in the
     # timed window; the F1 audit below reads the materialized checkpoints
     # and is timed separately (it is a verification pass, not a stage).
     n_pairs = int(result["metrics"]["scored_pairs"]["rows"])
     eval_start = time.time()
-    scores = evaluate_f1(result["scored"], result["clusters"], transcripts)
-    # family-split recount regenerates the token-pair set; worth it as an
-    # audit below ~50M pairs, skipped (keys absent from the report) above
-    family_split = n_pairs <= 50_000_000
-    recall_report = blocking_recall(
-        transcripts,
-        caught_true_pairs=scores["tp"] + scores["fn"],
-        blocks=result["pipeline"].catalog.read("blocks") if family_split else None,
-        clusters=result["clusters"],
-    )
+    scores, recall_report = {}, None
+    if not args.skip_eval:
+        scores = evaluate_f1(result["scored"], result["clusters"], transcripts)
+        # family-split recount regenerates the token-pair set; worth it as an
+        # audit below ~50M pairs, skipped (keys absent from the report) above
+        family_split = n_pairs <= 50_000_000
+        recall_report = blocking_recall(
+            transcripts,
+            caught_true_pairs=scores["tp"] + scores["fn"],
+            blocks=result["pipeline"].catalog.read("blocks") if family_split else None,
+            clusters=result["clusters"],
+        )
     eval_wall = time.time() - eval_start
     report = {
         "n_convs": n_convs,
@@ -469,9 +486,9 @@ def main() -> None:
         "wall_seconds": round(wall, 2),
         "pairs_per_second": round(n_pairs / wall, 1),
         "f1_eval_seconds": round(eval_wall, 2),
-        "blocking_recall": recall_report,
+        **({"blocking_recall": recall_report} if recall_report is not None else {}),
         **scores,
-        "stages": {k: {kk: v[kk] for kk in ("rows", "wall_seconds", "resumed", "count", "band_keys", "token_keys", "iterations", "converged", "unconverged_labels") if isinstance(v, dict) and kk in v} for k, v in result["metrics"].items()},
+        "stages": {k: {kk: v[kk] for kk in ("rows", "wall_seconds", "resumed", "count", "band_keys", "token_keys", "iterations", "converged", "unconverged_labels", "fused") if isinstance(v, dict) and kk in v} for k, v in result["metrics"].items()},
     }
     print(json.dumps(report))
     spark.stop()

@@ -291,6 +291,25 @@ def test_pipeline_resume(spark, transcripts, tmp_path):
     assert not r3["metrics"]["scored_pairs"].get("resumed")
 
 
+def test_pipeline_fuse_pairs_parity(spark, transcripts, tmp_path):
+    """fuse_pairs=True skips the candidate-pair checkpoint but must produce
+    the identical scored table and cluster assignment — the fused plan feeds
+    the same self-join into score_pairs_base, only unmaterialized."""
+    r_ckpt = run_er_pipeline(spark, str(tmp_path / "ckpt"), transcripts)
+    r_fused = run_er_pipeline(spark, str(tmp_path / "fused"), transcripts, fuse_pairs=True)
+    assert r_fused["metrics"]["candidate_pairs"] == {"fused": True}
+    assert "candidate_pairs" not in [
+        p.name for p in (tmp_path / "fused").iterdir() if p.is_dir()
+    ]
+    cols = ["key_a", "key_b", "jaccard", "is_match"]
+    a = sorted(map(tuple, r_ckpt["scored"].select(*cols).distinct().collect()))
+    b = sorted(map(tuple, r_fused["scored"].select(*cols).distinct().collect()))
+    assert a == b and len(a) > 0
+    ca = sorted(map(tuple, r_ckpt["clusters"].collect()))
+    cb = sorted(map(tuple, r_fused["clusters"].collect()))
+    assert ca == cb
+
+
 def test_lineage_recorded(spark, transcripts, tmp_path):
     work = str(tmp_path / "lineage")
     result = run_er_pipeline(spark, work, transcripts)

@@ -118,6 +118,23 @@ CHECKS = {
             ("no row-at-a-time Python", r"BatchEvalPython"),
         ],
     },
+    # the fused variant (pipeline --fuse-pairs): scored stage consumes the
+    # UNmaterialized block self-join. Budget: exactly one Exchange, the
+    # round-robin spread of the tiny block table (MBs); the |pairs|-sized
+    # stream goes scan -> broadcast self-join -> broadcast feature joins ->
+    # project without ever shuffling or entering Python.
+    "er_scored_fused": {
+        "want": [
+            ("block self-join + feature joins broadcast", r"BroadcastHashJoin"),
+            ("the only exchange is the block-spread repartition", r"Arguments: RoundRobinPartitioning"),
+            ("whole-stage codegen (or AQE runtime-compiled)", r"codegen id|AdaptiveSparkPlan"),
+        ],
+        "avoid": [
+            ("pairs never hash-shuffle", r"Arguments: hashpartitioning"),
+            ("NO Python over the pair table", r"ArrowEvalPython|MapInPandas|BatchEvalPython"),
+            ("no sort-merge join", r"SortMergeJoin"),
+        ],
+    },
     # stage 2 = JW/Lev on the undecided slice, filter pushed into the scan
     "er_jw_slice": {
         "want": [
@@ -186,6 +203,7 @@ def _split_stage_dfs(spark):
     turns = with_turn_key(normalized_text_df(pipeline_input(tr), model))
     blocks, _ = salt_oversized_blocks(token_blocks(turns), 400, 16)
     tmp = tempfile.mkdtemp(prefix="plan_audit_split_")
+    blocks.write.mode("overwrite").parquet(f"{tmp}/blocks")
     candidate_pairs(blocks, dedupe=False).write.mode("overwrite").parquet(f"{tmp}/pairs")
     feats = turn_features(turns, with_turn_key(turn_entities_df(extract_mentions_df(tr, model))))
     feats.write.mode("overwrite").parquet(f"{tmp}/feats")
@@ -193,8 +211,18 @@ def _split_stage_dfs(spark):
     base = score_pairs_base(spark.read.parquet(f"{tmp}/pairs"), feats_ck, broadcast_features=True)
     base.write.mode("overwrite").parquet(f"{tmp}/base")
     base_ck = spark.read.parquet(f"{tmp}/base")
+    # fused stage: blocks come off their checkpoint, get the pipeline's
+    # row-budget spread, and the self-join stays unmaterialized under the
+    # feature joins (plans/pipeline.py fuse_pairs=True)
+    fused_pairs = candidate_pairs(
+        spark.read.parquet(f"{tmp}/blocks"),
+        broadcast_blocks=True,
+        dedupe=False,
+        spread_to=8,
+    )
     return {
         "er_scored_base": base,
+        "er_scored_fused": score_pairs_base(fused_pairs, feats_ck, broadcast_features=True),
         "er_jw_slice": jw_scores_for_undecided(base_ck, feats_ck, broadcast_features=True),
     }
 
@@ -214,6 +242,7 @@ def _split(name):
 BUILDERS = {
     "er_scored_pairs": _er_scored_pairs_df,
     "er_scored_base": _split("er_scored_base"),
+    "er_scored_fused": _split("er_scored_fused"),
     "er_jw_slice": _split("er_jw_slice"),
 }
 
