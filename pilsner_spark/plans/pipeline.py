@@ -89,7 +89,7 @@ def run_er_pipeline(
     use_minhash_blocks: bool = True,
     minhash_num_hashes: int = 16,
     minhash_band_size: int = 2,
-    fuse_pairs: bool = False,
+    fuse_pairs: bool = True,
 ) -> Dict[str, object]:
     """Full ER run over a transcripts DataFrame (input_hint schema).
 
@@ -186,11 +186,13 @@ def run_er_pipeline(
 
     # The pair table is the largest intermediate (O(block_size x turns) rows
     # of two short keys) and the scored stage is its only consumer.
-    # fuse_pairs skips its checkpoint and feeds the unmaterialized self-join
-    # plan straight into score_pairs_base: one full write+read of |pairs|
-    # rows disappears from the wall at the cost of resume granularity (a
-    # restart recomputes pairs inside the scored stage — which is the next
-    # stage anyway, so the extra work on resume is just the block self-join).
+    # fuse_pairs (the default) skips its checkpoint and feeds the
+    # unmaterialized self-join plan straight into score_pairs_base: one full
+    # write+read of |pairs| rows disappears from the wall (measured 1.09x
+    # median at 8c/203M pairs, the 36-41 s candidate_pairs stage eliminated
+    # while the scored stage stays in its noise band — tools/ab_fuse_pairs.py)
+    # at the cost of resume granularity: a restart recomputes pairs inside
+    # the scored stage, and the extra work is just the block self-join.
     # pairs_scored reporting is unaffected: it reads scored_pairs lineage.
     if fuse_pairs:
         pairs = build_pairs()
@@ -434,7 +436,7 @@ def main() -> None:
     parser.add_argument("--entities", type=int, default=2000)
     parser.add_argument("--max-token-df", type=int, default=None, help="drop blocking tokens with document frequency above this (filler-stopword cap)")
     parser.add_argument("--hard-every", type=int, default=None, help="every Nth conversation is a hard-slice template conversation (sample dictionary only)")
-    parser.add_argument("--fuse-pairs", action="store_true", help="skip the candidate-pair checkpoint; feed the self-join plan straight into scoring (less I/O, coarser resume)")
+    parser.add_argument("--fuse-pairs", action=argparse.BooleanOptionalAction, default=True, help="skip the candidate-pair checkpoint and feed the self-join plan straight into scoring (default; --no-fuse-pairs restores the per-stage pair checkpoint for finer resume)")
     parser.add_argument("--skip-eval", action="store_true", help="skip the (untimed) F1 + recall audit pass — for timing-only A/B runs; never use when reporting quality numbers")
     args = parser.parse_args()
 

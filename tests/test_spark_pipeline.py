@@ -281,13 +281,16 @@ def test_pipeline_resume(spark, transcripts, tmp_path):
     """Second run with identical params resumes every stage from checkpoint;
     a changed param invalidates downstream stages."""
     work = str(tmp_path / "resume")
-    r1 = run_er_pipeline(spark, work, transcripts)
+    # fuse_pairs=False: this test exercises the per-stage checkpoint/resume
+    # path, which includes the candidate_pairs checkpoint the fused default
+    # deliberately skips.
+    r1 = run_er_pipeline(spark, work, transcripts, fuse_pairs=False)
     assert all(not m.get("resumed", False) for m in r1["metrics"].values() if isinstance(m, dict) and "resumed" in m)
-    r2 = run_er_pipeline(spark, work, transcripts)
+    r2 = run_er_pipeline(spark, work, transcripts, fuse_pairs=False)
     resumed = [k for k, m in r2["metrics"].items() if isinstance(m, dict) and m.get("resumed")]
     assert set(resumed) >= {"turns_normalized", "mentions", "blocks", "candidate_pairs", "scored_pairs", "entity_clusters"}
     # param change -> stages recompute
-    r3 = run_er_pipeline(spark, work, transcripts, jw_threshold=0.95)
+    r3 = run_er_pipeline(spark, work, transcripts, jw_threshold=0.95, fuse_pairs=False)
     assert not r3["metrics"]["scored_pairs"].get("resumed")
 
 
@@ -295,7 +298,7 @@ def test_pipeline_fuse_pairs_parity(spark, transcripts, tmp_path):
     """fuse_pairs=True skips the candidate-pair checkpoint but must produce
     the identical scored table and cluster assignment — the fused plan feeds
     the same self-join into score_pairs_base, only unmaterialized."""
-    r_ckpt = run_er_pipeline(spark, str(tmp_path / "ckpt"), transcripts)
+    r_ckpt = run_er_pipeline(spark, str(tmp_path / "ckpt"), transcripts, fuse_pairs=False)
     r_fused = run_er_pipeline(spark, str(tmp_path / "fused"), transcripts, fuse_pairs=True)
     assert r_fused["metrics"]["candidate_pairs"] == {"fused": True}
     assert "candidate_pairs" not in [
@@ -313,7 +316,9 @@ def test_pipeline_fuse_pairs_parity(spark, transcripts, tmp_path):
 def test_lineage_recorded(spark, transcripts, tmp_path):
     work = str(tmp_path / "lineage")
     result = run_er_pipeline(spark, work, transcripts)
-    lineage = result["pipeline"].catalog.lineage("candidate_pairs")
+    # scored_pairs, not candidate_pairs: the fused default never
+    # materializes the pair table, so its lineage lives in the consumer.
+    lineage = result["pipeline"].catalog.lineage("scored_pairs")
     assert lineage["rows"] > 0
     assert len(lineage["partitions"]) >= 1
     assert sum(p["rows"] for p in lineage["partitions"]) == lineage["rows"]

@@ -1,6 +1,8 @@
 """Interleaved A/B: candidate-pair checkpoint vs fuse_pairs at the scaling
-config (scale 0.012, 8 cores). Fresh workdir per run; alternating order so
-host noise (±30%, see BENCH/BASELINE.md) cancels in the medians.
+config (scale 0.012, 8 cores, synthetic dictionary with 8000 entities —
+exactly bench_scaling.py's corpus, so walls are comparable to
+BENCH/BASELINE.md). Fresh workdir per run; alternating order so host noise
+(±30%, see BENCH/BASELINE.md) cancels in the medians.
 
 Usage: python tools/ab_fuse_pairs.py [--reps 2] [--scale 0.012] [--cpus 8]
 Writes one JSON line per run to stdout and a summary at the end.
@@ -19,9 +21,10 @@ def run_once(fused: bool, scale: float, cpus: int, rep: int) -> dict:
     cmd = [
         sys.executable, "-m", "pilsner_spark.plans.pipeline",
         "--scale", str(scale), "--cpus", str(cpus), "--workdir", workdir,
+        "--dictionary", "synthetic", "--entities", "8000", "--seed", "42",
         "--skip-eval",  # timing-only: result parity is pinned by
         # tests/test_spark_pipeline.py::test_pipeline_fuse_pairs_parity
-    ] + (["--fuse-pairs"] if fused else [])
+    ] + (["--fuse-pairs"] if fused else ["--no-fuse-pairs"])
     out = subprocess.run(
         cmd, capture_output=True, text=True,
         env={**__import__("os").environ, "SPARK_DRIVER_MEMORY": "16g"},
