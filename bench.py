@@ -91,11 +91,12 @@ def main() -> None:
     start = time.time()
     result = run_er_pipeline(spark, workdir, transcripts, model=model)
     er_wall = time.time() - start
-    # pair count from stage lineage — counting result["scored"] here would
-    # charge the timed window one checkpoint re-read the pipeline CLI does
-    # not charge (plans/pipeline.py main does the same)
-    n_pairs = int(result["metrics"]["scored_pairs"]["rows"])
-    f1 = evaluate_f1(result["scored"], result["clusters"], transcripts)
+    # pair count from stage lineage/Observation — counting result["scored"]
+    # here would charge the timed window one checkpoint re-read the pipeline
+    # CLI does not charge (plans/pipeline.py main does the same)
+    sp_metrics = result["metrics"]["scored_pairs"]
+    n_pairs = int(sp_metrics.get("pairs_full", sp_metrics["rows"]))
+    f1 = evaluate_f1(result["pairs_all"], result["clusters"], transcripts)
     timings["er_pipeline"] = round(er_wall, 3)
     shutil.rmtree(workdir, ignore_errors=True)
 

@@ -15,7 +15,7 @@ import os
 import time
 from typing import Callable, Dict, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from pilsner_spark.operators.blocking import (
@@ -90,6 +90,7 @@ def run_er_pipeline(
     minhash_num_hashes: int = 16,
     minhash_band_size: int = 2,
     fuse_pairs: bool = True,
+    compact_scored: bool = True,
 ) -> Dict[str, object]:
     """Full ER run over a transcripts DataFrame (input_hint schema).
 
@@ -118,6 +119,10 @@ def run_er_pipeline(
         # recompute instead of resuming into the wrong layout
         "scoring_plan": "split-v2",
         "fuse_pairs": fuse_pairs,
+        # compact: the scored checkpoint keeps only the rows downstream
+        # consumes (shared-entity + undecided); full pair mass is counted
+        # in-flight via Observation — versions the checkpoint layout
+        "scored_layout": "compact-v1" if compact_scored else "full",
         "model": model.config_json(),
     }
     pipe = Pipeline(spark, workdir, params)
@@ -206,12 +211,38 @@ def run_er_pipeline(
     # only. score_pairs (single-pass, masked inputs) remains the right
     # shape for non-checkpointing callers — here the materialization is
     # free because the stage checkpoints anyway.
-    scored_base = pipe.stage(
-        "scored_pairs",
-        lambda: score_pairs_base(
+    # compact_scored (the default): of the O(pairs) scored rows, downstream
+    # only ever reads the shared-entity rows (decided match edges) and the
+    # undecided rows (the JW slice) — typically <2% of the mass. Writing
+    # the decided-nonmatch majority to the dominant checkpoint is pure dead
+    # I/O at any scale, so the stage filters to the live rows BEFORE the
+    # write and counts the full pair mass in the same job via Observation
+    # (no second pass; the counts land in lineage so resume recovers them).
+    # Consumers needing the complete candidate-pair key set (the F1 audit)
+    # use result["pairs_all"] — the unmaterialized pair plan — instead of
+    # the scored checkpoint.
+    obs = Observation("scored_pairs_full") if compact_scored else None
+
+    def build_scored() -> DataFrame:
+        base = score_pairs_base(
             pairs, features, jaccard_threshold, broadcast_features=bcast_feats
-        ),
-    )
+        )
+        if compact_scored:
+            counted = base.observe(
+                obs,
+                F.count(F.lit(1)).alias("pairs_full"),
+                F.sum(F.col("undecided").cast("long")).alias("undecided_rows"),
+                F.sum(F.col("shared_entity").cast("long")).alias("shared_rows"),
+            )
+            return counted.filter(F.col("shared_entity") | F.col("undecided"))
+        return base
+
+    scored_base = pipe.stage("scored_pairs", build_scored)
+    if compact_scored and not pipe.metrics["scored_pairs"].get("resumed"):
+        got = obs.get
+        extra = {k: int(got[k] or 0) for k in ("pairs_full", "undecided_rows", "shared_rows")}
+        pipe.metrics["scored_pairs"].update(extra)
+        pipe.catalog.amend_lineage("scored_pairs", extra)
     jw_slice = pipe.stage(
         "jw_scores",
         lambda: jw_scores_for_undecided(scored_base, features, broadcast_features=bcast_feats),
@@ -237,7 +268,17 @@ def run_er_pipeline(
     )
     if cc_stats:  # empty when the stage was resumed from checkpoint
         pipe.metrics["clustering_convergence"] = dict(cc_stats)
-    return {"clusters": clusters, "scored": scored, "metrics": pipe.metrics, "pipeline": pipe}
+    # pairs_all: the complete candidate-pair key set, for consumers that
+    # need every pair rather than the live scored rows (the F1 audit's
+    # labeled-pair denominator). Fused -> the lazy self-join plan (recomputed
+    # by the consumer, outside the timed window); checkpointed -> the table.
+    return {
+        "clusters": clusters,
+        "scored": scored,
+        "pairs_all": pairs.select("key_a", "key_b"),
+        "metrics": pipe.metrics,
+        "pipeline": pipe,
+    }
 
 
 def evaluate_f1(scored: DataFrame, clusters: DataFrame, truth: DataFrame) -> Dict[str, object]:
@@ -245,6 +286,12 @@ def evaluate_f1(scored: DataFrame, clusters: DataFrame, truth: DataFrame) -> Dic
     pairs are the candidate pairs whose two turns both carry planted ground
     truth (FIXTURES.md §5); a pair is predicted positive when the two turns
     land in the same cluster.
+
+    ``scored`` is any DataFrame carrying the complete candidate-pair key
+    set as (key_a, key_b) — pass ``result["pairs_all"]``, NOT the scored
+    checkpoint: under the compact layout the checkpoint keeps only the
+    live (shared/undecided) rows, which would silently drop the
+    decided-nonmatch labeled pairs from the fn count.
 
     When the corpus carries ``plant_style`` (hard-slice corpora, synth.py),
     a ``hard_slice`` sub-report covers the pairs with at least one
@@ -466,11 +513,12 @@ def main() -> None:
     # row counts come from stage lineage — no extra count jobs in the
     # timed window; the F1 audit below reads the materialized checkpoints
     # and is timed separately (it is a verification pass, not a stage).
-    n_pairs = int(result["metrics"]["scored_pairs"]["rows"])
+    sp_metrics = result["metrics"]["scored_pairs"]
+    n_pairs = int(sp_metrics.get("pairs_full", sp_metrics["rows"]))
     eval_start = time.time()
     scores, recall_report = {}, None
     if not args.skip_eval:
-        scores = evaluate_f1(result["scored"], result["clusters"], transcripts)
+        scores = evaluate_f1(result["pairs_all"], result["clusters"], transcripts)
         # family-split recount regenerates the token-pair set; worth it as an
         # audit below ~50M pairs, skipped (keys absent from the report) above
         family_split = n_pairs <= 50_000_000
@@ -490,7 +538,7 @@ def main() -> None:
         "f1_eval_seconds": round(eval_wall, 2),
         **({"blocking_recall": recall_report} if recall_report is not None else {}),
         **scores,
-        "stages": {k: {kk: v[kk] for kk in ("rows", "wall_seconds", "resumed", "count", "band_keys", "token_keys", "iterations", "converged", "unconverged_labels", "fused") if isinstance(v, dict) and kk in v} for k, v in result["metrics"].items()},
+        "stages": {k: {kk: v[kk] for kk in ("rows", "wall_seconds", "resumed", "count", "band_keys", "token_keys", "iterations", "converged", "unconverged_labels", "fused", "pairs_full", "undecided_rows", "shared_rows") if isinstance(v, dict) and kk in v} for k, v in result["metrics"].items()},
     }
     print(json.dumps(report))
     spark.stop()

@@ -106,6 +106,17 @@ class Catalog:
             return self.spark.read.table(table)
         return self.spark.read.parquet(self._path(table))
 
+    def amend_lineage(self, table: str, extra: dict) -> None:
+        """Merge stage-level metrics (e.g. Observation results collected
+        during the write job) into the lineage sidecar, so they survive
+        resume exactly like row counts do."""
+        lineage = self.lineage(table)
+        if lineage is None:
+            return
+        lineage.update(extra)
+        with open(self._lineage_path(table), "w") as f:
+            json.dump(lineage, f, indent=1)
+
     def lineage(self, table: str) -> Optional[dict]:
         try:
             with open(self._lineage_path(table)) as f:

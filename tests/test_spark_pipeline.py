@@ -179,7 +179,7 @@ def test_er_pipeline_f1_gate(spark, transcripts, tmp_path):
     """The BASELINE.json gate: pairwise F1 >= 0.99 on labeled pairs at the
     same blocking key, sample-dictionary entity assignments as truth."""
     result = run_er_pipeline(spark, str(tmp_path / "work"), transcripts)
-    scores = evaluate_f1(result["scored"], result["clusters"], transcripts)
+    scores = evaluate_f1(result["pairs_all"], result["clusters"], transcripts)
     assert scores["labeled_pairs"] > 1000
     assert scores["f1"] >= 0.99, scores
     # the hard negative must be present: cross-entity pairs in same blocks
@@ -215,7 +215,7 @@ def test_er_pipeline_hard_negatives_earn_f1(spark, tmp_path):
     ≥0.99 gate while a shared_entity-only baseline drops below 0.9 F1."""
     tr = synth_transcripts(spark, n_convs=240, seed=7, hard_conv_every=4).localCheckpoint()
     result = run_er_pipeline(spark, str(tmp_path / "hard"), tr)
-    scores = evaluate_f1(result["scored"], result["clusters"], tr)
+    scores = evaluate_f1(result["pairs_all"], result["clusters"], tr)
     assert scores["hard_slice"]["labeled_pairs"] > 100
     assert scores["f1"] >= 0.99, scores
     assert scores["hard_slice"]["f1"] >= 0.99, scores["hard_slice"]
@@ -226,7 +226,7 @@ def test_er_pipeline_hard_negatives_earn_f1(spark, tmp_path):
         result["scored"].filter(F.col("shared_entity")).select("key_a", "key_b").distinct()
     )
     base_clusters = cluster_turns(with_turn_key(tr).select("turn_key"), base_edges)
-    base = evaluate_f1(result["scored"], base_clusters, tr)
+    base = evaluate_f1(result["pairs_all"], base_clusters, tr)
     assert base["hard_slice"]["f1"] < 0.9, base
 
     # and the hard negatives must actually be hard: near-identical
@@ -311,6 +311,36 @@ def test_pipeline_fuse_pairs_parity(spark, transcripts, tmp_path):
     ca = sorted(map(tuple, r_ckpt["clusters"].collect()))
     cb = sorted(map(tuple, r_fused["clusters"].collect()))
     assert ca == cb
+
+
+def test_pipeline_compact_scored_parity(spark, transcripts, tmp_path):
+    """compact_scored (the default) drops decided-nonmatch rows from the
+    scored checkpoint but must leave every downstream product unchanged:
+    identical clusters, identical F1 over pairs_all, and a pairs_full
+    Observation count equal to the full layout's materialized row count."""
+    r_full = run_er_pipeline(spark, str(tmp_path / "full"), transcripts, compact_scored=False)
+    r_comp = run_er_pipeline(spark, str(tmp_path / "comp"), transcripts)
+    m = r_comp["metrics"]["scored_pairs"]
+    assert m["pairs_full"] == r_full["metrics"]["scored_pairs"]["rows"]
+    # the decided-nonmatch majority really was dropped
+    assert 0 < m["rows"] < m["pairs_full"]
+    assert m["rows"] == m["undecided_rows"] + m["shared_rows"]  # disjoint by construction
+    # compact scored rows == full scored filtered to the live condition
+    live = F.col("shared_entity") | (~F.col("shared_entity") & (F.col("jaccard") >= 0.3))
+    a = sorted(map(tuple, r_full["scored"].filter(live).collect()))
+    b = sorted(map(tuple, r_comp["scored"].collect()))
+    assert a == b and len(b) > 0
+    assert sorted(map(tuple, r_full["clusters"].collect())) == sorted(
+        map(tuple, r_comp["clusters"].collect())
+    )
+    fa = evaluate_f1(r_full["pairs_all"], r_full["clusters"], transcripts)
+    fb = evaluate_f1(r_comp["pairs_all"], r_comp["clusters"], transcripts)
+    assert fa == fb and fb["labeled_pairs"] > 1000
+
+    # resume: the Observation counts round-trip through the lineage sidecar
+    r_res = run_er_pipeline(spark, str(tmp_path / "comp"), transcripts)
+    assert r_res["metrics"]["scored_pairs"]["resumed"]
+    assert r_res["metrics"]["scored_pairs"]["pairs_full"] == m["pairs_full"]
 
 
 def test_lineage_recorded(spark, transcripts, tmp_path):
