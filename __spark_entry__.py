@@ -568,6 +568,28 @@ def q_dedup_embedding_ivf(spark, sf_dir):
     )
 
 
+def q_meta_blocking_prune(spark, sf_dir):
+    """Meta-blocking comparison cleaning over token blocks of the documents
+    table: CBS weights + the two standard pruning schemes (WEP global-mean
+    edge pruning, CNP per-node top-k) flagged side by side. Block purging
+    bounds block size to [2, 200]. Reference frame: this generalizes the
+    reference's single-key blocking (utility.py's dictionary buckets) with
+    the public meta-blocking literature's comparison-pruning stage."""
+    from pilsner_spark.operators.blocking import comparison_weights, meta_block_prune
+
+    docs = _t(spark, sf_dir, "documents")
+    blocks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        ).alias("block_key"),
+    )
+    w = comparison_weights(
+        blocks, id_col="doc_id", key_col="block_key", min_block_size=2, max_block_size=200
+    )
+    return meta_block_prune(w, cnp_k=5)
+
+
 # -- ANN ---------------------------------------------------------------------
 
 
@@ -745,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_ivf": q_dedup_embedding_ivf,
+        "meta_blocking_prune": q_meta_blocking_prune,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_stats": q_text_stats,
@@ -1088,6 +1111,21 @@ def oracle_sql() -> dict[str, str]:
             "select id_a, id_b, round(cast(n_inter as double) / (sa.n_sh + sb.n_sh - n_inter), 6) as jaccard "
             "from inter join sizes sa on sa.doc_id = id_a join sizes sb on sb.doc_id = id_b "
             "where round(cast(n_inter as double) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2"
+        ),
+        "meta_blocking_prune": (
+            "with toks as (select doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x != '')) as ts from documents), "
+            "tok as (select doc_id, unnest(ts) as token from toks), "
+            "bsz as (select token from tok group by token having count(*) between 2 and 200), "
+            "blk as (select t.doc_id, t.token from tok t join bsz using (token)), "
+            "w as (select a.doc_id as id_a, b.doc_id as id_b, cast(count(*) as bigint) as cbs "
+            "  from blk a join blk b using (token) where a.doc_id < b.doc_id group by 1, 2), "
+            "tot as (select cast(count(*) as bigint) as n_pairs, cast(sum(cbs) as bigint) as cbs_total from w), "
+            "edges as (select id_a as node, id_b as partner, cbs from w union all select id_b, id_a, cbs from w), "
+            "surv as (select distinct least(node, partner) as id_a, greatest(node, partner) as id_b "
+            "  from (select node, partner, row_number() over (partition by node order by cbs desc, partner asc) as r from edges) where r <= 5) "
+            "select w.id_a, w.id_b, w.cbs, (w.cbs * tot.n_pairs >= tot.cbs_total) as kept_wep, "
+            "(surv.id_a is not null) as kept_cnp "
+            "from w cross join tot left join surv on w.id_a = surv.id_a and w.id_b = surv.id_b"
         ),
         "dedup_embedding_cosine": (
             "select a.vec_id as id_a, b.vec_id as id_b, round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) as cosine "

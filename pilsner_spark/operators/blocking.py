@@ -137,6 +137,105 @@ def salt_oversized_blocks(
     return salted, oversized
 
 
+def comparison_weights(
+    blocks: DataFrame,
+    id_col: str = "turn_key",
+    key_col: str = "block_key",
+    min_block_size: int = 2,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """CBS comparison weights for meta-blocking (Papadakis et al.,
+    "Meta-Blocking: Taking Entity Resolution to the Next Level", TKDE 2014
+    — public literature): every candidate pair weighted by the number of
+    blocks the two records co-occur in. High-CBS pairs carry strong
+    co-occurrence evidence; weight-based pruning then discards the
+    low-evidence majority BEFORE the expensive scoring stage.
+
+    Physical shape: one bucketing shuffle (groupBy block key, same as the
+    dedup family), in-bucket higher-order pair expansion over the sorted
+    member array (no self-join — upstream computed once), then one hash
+    aggregation on the pair key whose map-side partials collapse repeat
+    co-occurrences before the exchange. Blocks outside
+    [min_block_size, max_block_size] are excluded up front — the
+    literature's "block purging": an oversized block contributes O(size^2)
+    pairs of near-zero evidential value (its tokens are stopword-like), so
+    purging it bounds the pair mass exactly like the dedup caps do. Purged
+    keys are visible via ``salt_oversized_blocks``'s report pattern when
+    callers need the no-silent-truncation audit.
+
+    Returns (id_a, id_b, cbs) with id_a < id_b.
+    """
+    from pilsner_spark.operators.dedup import _bucket_pairs
+
+    buckets = (
+        blocks.groupBy(key_col)
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(
+            (F.size("ids") >= min_block_size) & (F.size("ids") <= max_block_size)
+        )
+    )
+    return (
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("cbs"))
+    )
+
+
+def meta_block_prune(weights: DataFrame, cnp_k: int = 5) -> DataFrame:
+    """WEP + CNP pruning decisions over CBS weights (meta-blocking's two
+    standard comparison-pruning schemes, flagged side by side):
+
+    * ``kept_wep`` — Weighted Edge Pruning: keep pairs whose weight is at
+      least the global mean. Compared in exact integer arithmetic
+      (``cbs * n_pairs >= total_cbs``), so the decision is reproducible
+      across engines with no float-mean edge cases.
+    * ``kept_cnp`` — Cardinality Node Pruning (redundancy-positive): keep a
+      pair that ranks in the top-``cnp_k`` of EITHER endpoint's edge list,
+      ordered by (cbs desc, partner id asc) — a total order, so ranks are
+      deterministic.
+
+    Physical shape: the global mean is a 1-row aggregate broadcast back
+    over the weights (no second full pass); CNP re-orients each edge both
+    ways (2x|pairs| rows) through ONE window shuffle partitioned by node,
+    emitting at most ``cnp_k`` survivors per node — output O(k x nodes)
+    regardless of how quadratic the input pair mass was. At 10^12-turn
+    scale this is the lever that turns a trillions-pair candidate set into
+    a linear-in-records comparison budget, at a recall cost that is
+    measurable per scheme via the flags (prune downstream with
+    ``filter("kept_wep")`` / ``filter("kept_cnp")``).
+    """
+    totals = weights.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("cbs").alias("cbs_total")
+    )
+    edges = weights.select(
+        F.col("id_a").alias("node"), F.col("id_b").alias("partner"), "cbs"
+    ).unionByName(
+        weights.select(F.col("id_b").alias("node"), F.col("id_a").alias("partner"), "cbs")
+    )
+    win = Window.partitionBy("node").orderBy(F.desc("cbs"), F.asc("partner"))
+    survivors = (
+        edges.withColumn("r", F.row_number().over(win))
+        .filter(F.col("r") <= cnp_k)
+        .select(
+            F.least("node", "partner").alias("id_a"),
+            F.greatest("node", "partner").alias("id_b"),
+        )
+        .distinct()
+        .withColumn("kept_cnp", F.lit(True))
+    )
+    return (
+        weights.crossJoin(F.broadcast(totals))
+        .join(survivors, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "cbs",
+            (F.col("cbs") * F.col("n_pairs") >= F.col("cbs_total")).alias("kept_wep"),
+            F.coalesce(F.col("kept_cnp"), F.lit(False)).alias("kept_cnp"),
+        )
+    )
+
+
 def candidate_pairs(
     blocks: DataFrame,
     broadcast_blocks: bool = False,

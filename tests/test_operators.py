@@ -210,3 +210,37 @@ def test_simhash_pairs_equal_brute_force(spark):
     }
     assert got == brute
     assert got  # non-vacuous: the near-identical texts must collide
+
+
+def test_meta_blocking_weights_and_pruning(spark):
+    """Hand-computed CBS + WEP/CNP on a 4-record block graph:
+    A={t1,t2,t3}, B={t1,t2}, C={t1,t4}, D={t4,t5}; singleton blocks (t3,
+    t5) contribute nothing; an oversized block (t6 on all four) is purged
+    by max_block_size and must not change any weight."""
+    from pilsner_spark.operators.blocking import comparison_weights, meta_block_prune
+
+    rows = [
+        ("A", ["t1", "t2", "t3", "t6"]),
+        ("B", ["t1", "t2", "t6"]),
+        ("C", ["t1", "t4", "t6"]),
+        ("D", ["t4", "t5", "t6"]),
+    ]
+    blocks = spark.createDataFrame(rows, "doc_id string, toks array<string>").select(
+        "doc_id", F.explode("toks").alias("block_key")
+    )
+    w = comparison_weights(
+        blocks, id_col="doc_id", key_col="block_key", min_block_size=2, max_block_size=3
+    )
+    got = {(r.id_a, r.id_b): r.cbs for r in w.collect()}
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1, ("C", "D"): 1}
+
+    pruned = {(r.id_a, r.id_b): (r.kept_wep, r.kept_cnp) for r in meta_block_prune(w, cnp_k=1).collect()}
+    # WEP: mean cbs = 5/4, only (A,B) at cbs=2 clears it (integer-exact compare)
+    # CNP k=1 (cbs desc, partner asc): A->B, B->A, C->A, D->C survive;
+    # (B,C) is in neither endpoint's top-1
+    assert pruned == {
+        ("A", "B"): (True, True),
+        ("A", "C"): (False, True),
+        ("B", "C"): (False, False),
+        ("C", "D"): (False, True),
+    }
