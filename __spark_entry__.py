@@ -609,6 +609,18 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization top-k: vectors encoded as 4 codes over 16-dim
+    subspaces (deterministic sample codebooks keep the oracle exact),
+    queries scored asymmetrically against codeword reconstructions. The
+    memory-compression scale path next to IVF's probe-pruning path."""
+    from pilsner_spark.operators.ann import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return pq_topk(emb, queries, k=5, m=4, n_codes=16, dim=64)
+
+
 # -- text analysis ------------------------------------------------------------
 
 
@@ -770,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_blocking_prune": q_meta_blocking_prune,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "text_stats": q_text_stats,
         "text_quality_langid": q_text_quality_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -1164,6 +1177,25 @@ def oracle_sql() -> dict[str, str]:
             "cand as (select p.query_id, a.vec_id as neighbor_id from qprobe p join assign a using (cell) where p.query_id != a.vec_id), "
             "scored as (select c.query_id, c.neighbor_id, round(list_cosine_similarity(cast(q.embedding as double[]), cast(v.embedding as double[])), 6) as cosine "
             "  from cand c join embeddings q on q.vec_id = c.query_id join embeddings v on v.vec_id = c.neighbor_id) "
+            "select query_id, neighbor_id, rank, cosine from "
+            "(select *, row_number() over (partition by query_id order by cosine desc, neighbor_id asc) as rank from scored) "
+            "where rank <= 5"
+        ),
+        "ann_pq_topk": (
+            "with v as (select vec_id, cast(embedding as double[]) as emb from embeddings), "
+            "seed as (select vec_id as code, emb from v order by vec_id limit 16), "
+            "sp as (select g.m from generate_series(0, 3) g(m)), "
+            "cb as (select sp.m, seed.code, (seed.emb)[sp.m*16+1:(sp.m+1)*16] as c_sub from seed, sp), "
+            "subs as (select v.vec_id, sp.m, (v.emb)[sp.m*16+1:(sp.m+1)*16] as v_sub from v, sp), "
+            "assign as (select vec_id, m, code from (select s.vec_id, s.m, cb.code, "
+            "  row_number() over (partition by s.vec_id, s.m order by "
+            "    round(list_sum([(s.v_sub[i]-cb.c_sub[i])*(s.v_sub[i]-cb.c_sub[i]) for i in generate_series(1, 16)]), 6) asc, cb.code asc) as r "
+            "  from subs s join cb on s.m = cb.m) where r = 1), "
+            "recon as (select a.vec_id, flatten(list(cb.c_sub order by a.m)) as r_vec "
+            "  from assign a join cb on a.m = cb.m and a.code = cb.code group by a.vec_id), "
+            "scored as (select q.vec_id as query_id, r.vec_id as neighbor_id, "
+            "  round(list_cosine_similarity(q.emb, r.r_vec), 6) as cosine "
+            "  from v q, recon r where q.vec_id < 10 and q.vec_id != r.vec_id) "
             "select query_id, neighbor_id, rank, cosine from "
             "(select *, row_number() over (partition by query_id order by cosine desc, neighbor_id asc) as rank from scored) "
             "where rank <= 5"

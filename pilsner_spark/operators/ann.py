@@ -181,6 +181,164 @@ def ivf_topk(
     )
 
 
+def _sq_l2(a, b):
+    """Squared Euclidean distance between two array columns, rounded to 6
+    decimals — the rounding (not sqrt) keeps argmin ties engine-portable."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011 — public literature): the
+    vector space splits into ``m`` contiguous subspaces; each subspace gets
+    ``n_codes`` codewords. Deterministic construction (the subvectors of the
+    ``n_codes`` lowest-id vectors, code id = seed vector id) so the oracle
+    stays exact — k-means-refined codewords drop into the same dataflow.
+
+    Returns (m, code, c_sub). O(m x n_codes) rows — always broadcastable.
+    """
+    if dim is None:
+        dim = vectors.select(F.size(F.col(vec_col))).first()[0]
+    sub = dim // m
+    seed = vectors.orderBy(id_col).limit(n_codes).select(
+        F.col(id_col).alias("code"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    parts = F.array(
+        *[
+            F.struct(F.lit(i).alias("m"), F.slice(F.col("v"), i * sub + 1, sub).alias("c_sub"))
+            for i in range(m)
+        ]
+    )
+    return seed.select("code", F.explode(parts).alias("p")).select(
+        F.col("p.m").alias("m"), "code", F.col("p.c_sub").alias("c_sub")
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Encode every vector as ``m`` codes: per subspace, the codeword with
+    the smallest (rounded) squared-L2 distance, ties to the lowest code id.
+
+    This is the index build — the 100 TB story: an encoded vector is ``m``
+    small ints instead of ``dim`` floats (64-dim float -> 4 bytes of codes,
+    a 64x compression), so the searchable corpus fits in a fraction of the
+    memory/IO. Physical shape: vectors explode to N x m subvector rows, a
+    broadcast join against the O(m x n_codes) codebook scores N x m x K
+    rows, and a ``min_by`` hash aggregation (map-side partials) collapses
+    them back to N x m before the exchange — linear in N, no window."""
+    if dim is None:
+        dim = vectors.select(F.size(F.col(vec_col))).first()[0]
+    sub = dim // m
+    parts = F.array(
+        *[
+            F.struct(F.lit(i).alias("m"), F.slice(F.col("v"), i * sub + 1, sub).alias("v_sub"))
+            for i in range(m)
+        ]
+    )
+    subs = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).select("vec_id", F.explode(parts).alias("p")).select(
+        "vec_id", F.col("p.m").alias("m"), F.col("p.v_sub").alias("v_sub")
+    )
+    scored = subs.join(F.broadcast(codebooks), "m").withColumn(
+        "d", _sq_l2(F.col("v_sub"), F.col("c_sub"))
+    )
+    return scored.groupBy("vec_id", "m").agg(
+        F.min_by("code", F.struct(F.col("d"), F.col("code"))).alias("code")
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Approximate top-k over PQ-compressed vectors: encode once, score
+    queries against the codeword RECONSTRUCTION (concatenated per-subspace
+    codewords — exactly the vector the codes represent), rank as in
+    brute_force_topk. Same output schema; ``cosine`` is the approximate
+    (reconstructed) similarity. Composable with IVF cell probing for the
+    full IVF-PQ shape — the reconstruction join is per candidate either
+    way. Queries stay uncompressed (asymmetric scoring, the standard PQ
+    setup: only the corpus side pays the quantization error)."""
+    cb = pq_codebooks(vectors, m, n_codes, id_col, vec_col, dim).localCheckpoint()
+    codes = pq_encode(vectors, cb, m, id_col, vec_col, dim)
+    recon = (
+        codes.join(F.broadcast(cb), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "c_sub"))),
+                    lambda s: s["c_sub"],
+                )
+            ).alias("r_vec")
+        )
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(recon.withColumnRenamed("vec_id", "neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("r_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def pq_recall_at_k(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> float:
+    """Fraction of brute-force top-k the PQ index recovers — the
+    compression-quality twin of ``recall_at_k``."""
+    truth = brute_force_topk(vectors, queries, k, id_col, vec_col, query_id_col)
+    approx = pq_topk(vectors, queries, k, m, n_codes, id_col, vec_col, query_id_col)
+    hits = truth.join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    ).count()
+    total = truth.count()
+    return hits / total if total else 1.0
+
+
 def recall_at_k(
     vectors: DataFrame,
     queries: DataFrame,

@@ -244,3 +244,25 @@ def test_meta_blocking_weights_and_pruning(spark):
         ("B", "C"): (False, False),
         ("C", "D"): (False, True),
     }
+
+
+def test_ann_pq_exact_when_codebook_covers_corpus(spark, vectors):
+    """With n_codes >= N every vector's subvectors are themselves codewords
+    (distance 0; ties resolve to an identical-valued lower code), so the
+    reconstruction is exact and PQ top-k must equal brute force rank-for-rank."""
+    from pilsner_spark.operators.ann import pq_topk
+
+    queries = vectors.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    truth = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in brute_force_topk(vectors, queries, k=4).collect()}
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in pq_topk(vectors, queries, k=4, m=2, n_codes=40).collect()}
+    assert got == truth
+
+
+def test_ann_pq_recall_floor(spark, vectors):
+    """Lossy setting (16 codes over 2-dim subspaces on the 8-direction
+    fixture): the seeds cover every direction, so recall stays high.
+    Deterministic construction — measured 1.0; pinned with slack."""
+    from pilsner_spark.operators.ann import pq_recall_at_k
+
+    queries = vectors.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    assert pq_recall_at_k(vectors, queries, k=4, m=2, n_codes=16) >= 0.9
