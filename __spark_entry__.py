@@ -590,6 +590,38 @@ def q_meta_blocking_prune(spark, sf_dir):
     return meta_block_prune(w, cnp_k=5)
 
 
+def q_blocking_sorted_neighborhood(spark, sf_dir):
+    """Multi-pass sorted-neighborhood blocking (Hernández & Stolfo) over the
+    documents table: pass 1 sorts by the lowercased text, pass 2 by its
+    reversal (so typos at either end of the key still meet in some window),
+    window 5, pairs unioned and canonicalized. The global rank is the
+    bucketed two-level ranking — no single-partition window (see
+    operators/blocking.global_sort_ranks)."""
+    from pilsner_spark.operators.blocking import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    p1 = sorted_neighborhood_pairs(
+        docs.select("doc_id", F.lower(F.col("text")).alias("sk")),
+        "sk",
+        "doc_id",
+        window_size=5,
+    )
+    p2 = sorted_neighborhood_pairs(
+        docs.select("doc_id", F.reverse(F.lower(F.col("text"))).alias("sk")),
+        "sk",
+        "doc_id",
+        window_size=5,
+    )
+    both = p1.unionByName(p2)
+    return (
+        both.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 # -- ANN ---------------------------------------------------------------------
 
 
@@ -780,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_ivf": q_dedup_embedding_ivf,
         "meta_blocking_prune": q_meta_blocking_prune,
+        "blocking_sorted_neighborhood": q_blocking_sorted_neighborhood,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
@@ -1139,6 +1172,14 @@ def oracle_sql() -> dict[str, str]:
             "select w.id_a, w.id_b, w.cbs, (w.cbs * tot.n_pairs >= tot.cbs_total) as kept_wep, "
             "(surv.id_a is not null) as kept_cnp "
             "from w cross join tot left join surv on w.id_a = surv.id_a and w.id_b = surv.id_b"
+        ),
+        "blocking_sorted_neighborhood": (
+            "with r1 as (select doc_id, row_number() over (order by lower(text), doc_id) as rk from documents), "
+            "p1 as (select a.doc_id as x, b.doc_id as y from r1 a join r1 b on b.rk - a.rk between 1 and 4), "
+            "r2 as (select doc_id, row_number() over (order by reverse(lower(text)), doc_id) as rk from documents), "
+            "p2 as (select a.doc_id as x, b.doc_id as y from r2 a join r2 b on b.rk - a.rk between 1 and 4) "
+            "select distinct least(x, y) as id_a, greatest(x, y) as id_b from "
+            "(select x, y from p1 union all select x, y from p2)"
         ),
         "dedup_embedding_cosine": (
             "select a.vec_id as id_a, b.vec_id as id_b, round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) as cosine "

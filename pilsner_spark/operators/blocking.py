@@ -236,6 +236,88 @@ def meta_block_prune(weights: DataFrame, cnp_k: int = 5) -> DataFrame:
     )
 
 
+def global_sort_ranks(
+    records: DataFrame,
+    sort_col: str,
+    id_col: str,
+    bucket_prefix_len: int = 1,
+) -> DataFrame:
+    """Dense global rank (1..N) of every record under the total order
+    (sort_col, id_col) — WITHOUT a single-partition window.
+
+    A bare ``row_number() over (order by ...)`` funnels the whole table
+    through ONE task; at 10^12 rows that is the job. Instead the sort key's
+    own prefix is the range partitioner: records sharing a ``bucket_prefix_len``
+    character prefix form a bucket that is *contiguous in the global sort
+    order by construction* (prefix order = sort-key order), so
+    global rank = (running count of all earlier buckets) + (rank within the
+    bucket). The bucket count table is tiny (≤ alphabet^prefix_len rows), so
+    its prefix-sum window is a no-op and the offsets broadcast back. Unlike
+    ``repartitionByRange`` this is fully deterministic — no sampled bounds,
+    so two actions over the result see identical ranks without a checkpoint.
+    Skewed prefixes (many records sharing one first character) are handled
+    by raising ``bucket_prefix_len``.
+    """
+    base = records.select(
+        F.col(id_col).alias("id"),
+        F.col(sort_col).alias("sk"),
+        F.substring(F.col(sort_col), 1, bucket_prefix_len).alias("bk"),
+    )
+    counts = base.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
+    run = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bk", F.coalesce(F.sum("c").over(run), F.lit(0)).alias("off")
+    )
+    in_bucket = Window.partitionBy("bk").orderBy("sk", "id")
+    return (
+        base.join(F.broadcast(offsets), "bk")
+        .withColumn("rank", F.col("off") + F.row_number().over(in_bucket))
+        .select("id", "sk", "rank")
+    )
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    sort_col: str,
+    id_col: str,
+    window_size: int = 5,
+    bucket_prefix_len: int = 1,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95 — public
+    literature): sort all records by a blocking key, slide a fixed window of
+    ``window_size`` over the sorted order, emit every in-window pair.
+
+    Complements the equi-key blockers: token/band blocks need two records to
+    agree EXACTLY on some key, while SNM pairs records that are merely
+    *close* in sort order — typo'd keys that share a prefix still land in the
+    same window. Classic usage is multi-pass (several sort keys, union the
+    pairs, let transitive clustering close the rest) — compose passes with
+    ``unionByName(...).distinct()``.
+
+    Physical shape: the global sort rank comes from ``global_sort_ranks``
+    (bucketed two-level ranking — no single-partition window), then each
+    record explodes into ``window_size - 1`` (rank, rank+d) probes joined
+    back on the unique integer rank: one equi-join shuffle on a perfectly
+    uniform key, output exactly (N - w/2)·(w-1) rows — linear in N, the
+    property that makes SNM the bounded-budget blocker at 10^12 turns.
+
+    Returns (id_a, id_b, dist) where id_a is the lower-ranked record and
+    dist its window distance in [1, window_size-1].
+    """
+    ranked = global_sort_ranks(records, sort_col, id_col, bucket_prefix_len)
+    left = ranked.select("id", "rank").withColumn(
+        "dist", F.explode(F.sequence(F.lit(1), F.lit(window_size - 1)))
+    )
+    right = ranked.select(
+        F.col("id").alias("id_b"), (F.col("rank")).alias("rank_b")
+    )
+    return (
+        left.withColumn("rank_b", F.col("rank") + F.col("dist"))
+        .join(right, "rank_b")
+        .select(F.col("id").alias("id_a"), "id_b", "dist")
+    )
+
+
 def candidate_pairs(
     blocks: DataFrame,
     broadcast_blocks: bool = False,

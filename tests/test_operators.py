@@ -246,6 +246,38 @@ def test_meta_blocking_weights_and_pruning(spark):
     }
 
 
+def test_sorted_neighborhood_window_pairs(spark):
+    """Hand-checkable SNM: 6 records whose sort keys span three first-char
+    buckets (so the two-level global rank is exercised across buckets),
+    window 3 -> each record pairs with the next 1 and 2 in sort order."""
+    from pilsner_spark.operators.blocking import global_sort_ranks, sorted_neighborhood_pairs
+
+    rows = [
+        (10, "apple"),
+        (11, "apricot"),
+        (12, "banana"),
+        (13, "banana"),  # tie on sort key -> id breaks it
+        (14, "berry"),
+        (15, "cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, sk string")
+    ranks = {r.id: r.rank for r in global_sort_ranks(df, "sk", "doc_id").collect()}
+    assert ranks == {10: 1, 11: 2, 12: 3, 13: 4, 14: 5, 15: 6}
+
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in sorted_neighborhood_pairs(df, "sk", "doc_id", window_size=3).collect()
+    }
+    expected = {
+        (10, 11, 1), (10, 12, 2),
+        (11, 12, 1), (11, 13, 2),
+        (12, 13, 1), (12, 14, 2),
+        (13, 14, 1), (13, 15, 2),
+        (14, 15, 1),
+    }
+    assert got == expected
+
+
 def test_ann_pq_exact_when_codebook_covers_corpus(spark, vectors):
     """With n_codes >= N every vector's subvectors are themselves codewords
     (distance 0; ties resolve to an identical-valued lower code), so the
