@@ -13,7 +13,7 @@ import argparse
 import json
 import os
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Sequence
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -360,6 +360,61 @@ def evaluate_f1(scored: DataFrame, clusters: DataFrame, truth: DataFrame) -> Dic
     return out
 
 
+def bcubed(clusters: DataFrame, truth: DataFrame, scope_cols: Sequence[str] = ()) -> Dict[str, float]:
+    """B-cubed precision/recall/F1 of the cluster assignment against the
+    planted entities (Bagga & Baldwin '98; Amigó et al. '09 — the standard
+    cluster-level ER metric, complementing the pairwise F1: pairwise F1 is
+    blind to how errors distribute across clusters, B-cubed charges each
+    item for the purity/completeness of ITS cluster).
+
+    Per labeled item i: precision(i) = |same-entity items in i's cluster| /
+    |i's cluster|, recall(i) = same numerator / |i's entity|; scores are the
+    item means. Closed-form over the (cluster, entity) contingency cells —
+    sum of n_ce^2 / n_c (resp. n_e) — so the whole metric is two hash
+    aggregations and one broadcast-sized join: no per-item pair expansion,
+    linear at any corpus size. Cluster sizes count labeled items only
+    (unlabeled filler turns have no gold class to be right or wrong about);
+    a labeled item that never reached a cluster (no mention extracted)
+    counts as its own singleton rather than being silently dropped.
+
+    ``scope_cols`` refines the gold class to (entity, *scope_cols) — pass
+    ("tool", "role") for the rule-aligned universe, where same-entity turns
+    in different (tool, role) keyspaces are CORRECTLY apart (the blocking
+    key structurally scopes clusters, per the north rule); without it the
+    metric is unconditional, the B-cubed mirror of
+    ``cluster_recall_unscoped``."""
+    gold = F.concat_ws("\x01", F.col("planted_entity"), *[F.col(c) for c in scope_cols])
+    labeled = (
+        with_turn_key(truth)
+        .filter(F.col("planted_entity").isNotNull())
+        .select("turn_key", gold.alias("entity"))
+        .join(clusters.select("turn_key", "cluster_id"), "turn_key", "left")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("cluster_id"), F.concat(F.lit("singleton#"), F.col("turn_key"))),
+        )
+    )
+    cells = labeled.groupBy("cluster_id", "entity").agg(F.count(F.lit(1)).alias("n_ce"))
+    csize = cells.groupBy("cluster_id").agg(F.sum("n_ce").alias("n_c"))
+    esize = cells.groupBy("entity").agg(F.sum("n_ce").alias("n_e"))
+    row = (
+        cells.join(csize, "cluster_id")
+        .join(esize, "entity")
+        .agg(
+            F.sum(F.col("n_ce") * F.col("n_ce") / F.col("n_c")).alias("p_mass"),
+            F.sum(F.col("n_ce") * F.col("n_ce") / F.col("n_e")).alias("r_mass"),
+            F.sum("n_ce").alias("n"),
+        )
+        .collect()[0]
+    )
+    n = row["n"] or 0
+    if not n:
+        return {"precision": 1.0, "recall": 1.0, "f1": 1.0, "items": 0}
+    p, r = row["p_mass"] / n, row["r_mass"] / n
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"precision": round(p, 6), "recall": round(r, 6), "f1": round(f1, 6), "items": int(n)}
+
+
 def blocking_recall(
     truth: DataFrame,
     caught_true_pairs: int,
@@ -519,6 +574,10 @@ def main() -> None:
     scores, recall_report = {}, None
     if not args.skip_eval:
         scores = evaluate_f1(result["pairs_all"], result["clusters"], transcripts)
+        scores["bcubed"] = {
+            "scoped": bcubed(result["clusters"], transcripts, scope_cols=("tool", "role")),
+            "unscoped": bcubed(result["clusters"], transcripts),
+        }
         # family-split recount regenerates the token-pair set; worth it as an
         # audit below ~50M pairs, skipped (keys absent from the report) above
         family_split = n_pairs <= 50_000_000

@@ -175,6 +175,28 @@ def test_connected_components_unconverged_flag(spark):
     assert len({r.cluster_id for r in comp}) == 1
 
 
+def test_bcubed_hand_computed(spark):
+    """6 labeled items, clusters {a,b,c} / {d,e}, f unclustered (counts as
+    its own singleton): gold a,b=E1; c,d=E2; e,f=E3.
+    p_mass = 4/3+1/3+1/2+1/2+1 = 11/3 -> P = 11/18
+    r_mass = 4/2+1/2+1/2+1/2+1/2 = 4   -> R = 2/3, F1 = 44/69."""
+    from pilsner_spark.plans.pipeline import bcubed
+
+    truth = spark.createDataFrame(
+        [(c, 0, e) for c, e in [("a", "E1"), ("b", "E1"), ("c", "E2"), ("d", "E2"), ("e", "E3"), ("f", "E3")]],
+        "conv_id string, turn_idx int, planted_entity string",
+    )
+    clusters = spark.createDataFrame(
+        [("a#0", "cl1"), ("b#0", "cl1"), ("c#0", "cl1"), ("d#0", "cl2"), ("e#0", "cl2")],
+        "turn_key string, cluster_id string",
+    )
+    got = bcubed(clusters, truth)
+    assert got["items"] == 6
+    assert got["precision"] == round(11 / 18, 6)
+    assert got["recall"] == round(2 / 3, 6)
+    assert got["f1"] == round(44 / 69, 6)
+
+
 def test_er_pipeline_f1_gate(spark, transcripts, tmp_path):
     """The BASELINE.json gate: pairwise F1 >= 0.99 on labeled pairs at the
     same blocking key, sample-dictionary entity assignments as truth."""
