@@ -4,14 +4,16 @@ Images/audio/video ride through the engine as ``binary`` columns plus a
 metadata struct; the Spark-side machinery (schema, Arrow batch shape,
 partition sizing, UDF signatures) is real and tested. Decoding is REAL
 for the uncompressed formats a pure numpy parser can handle — PPM (P6),
-PGM (P5), and 24-bit uncompressed BMP (``decode_image_array``), with
-nearest-neighbor ``resize_nearest`` — and real pixel features flow through
-``extract_features_df`` for those payloads. Compressed codecs (JPEG/PNG/
-audio/video) are STUBBED: this container has no codec libraries, so
-``decode_image`` raises NotImplementedError for them unless ``fake=True``,
-in which case a deterministic byte-derived feature vector stands in —
-letting the downstream operators (dedup by feature cosine, ANN over
-extracted embeddings) be exercised end-to-end either way.
+PGM (P5), and 24-bit uncompressed BMP (``decode_image_array``, with
+nearest-neighbor ``resize_nearest``), and 8/16-bit PCM RIFF/WAVE audio
+(``decode_audio_array``, with ``frame_rms`` frame sampling) — and real
+pixel/audio features flow through ``extract_features_df`` for those
+payloads, routed per media_type. Compressed codecs (JPEG/PNG/MP3/video)
+are STUBBED: this container has no codec libraries, so the decoders raise
+NotImplementedError for them unless ``fake=True``, in which case a
+deterministic byte-derived feature vector stands in — letting the
+downstream operators (dedup by feature cosine, ANN over extracted
+embeddings) be exercised end-to-end either way.
 
 At 100 TB the operative concerns encoded here:
 * binary payloads are NEVER shuffled with their features — feature
@@ -121,6 +123,93 @@ def pixel_features(img: np.ndarray) -> List[float]:
     return [round(float(x), 6) for x in head + list(hist)]
 
 
+def decode_audio_array(payload: bytes) -> Tuple[np.ndarray, int]:
+    """REAL decode (pure numpy) of RIFF/WAVE **PCM** audio: 8-bit unsigned
+    and 16-bit signed little-endian samples, any channel count. Walks the
+    RIFF chunk list (word-aligned), so extra chunks (LIST/INFO, fact) are
+    skipped correctly. Returns (samples, sample_rate) with samples shaped
+    (n_frames, channels) as float64 in [-1, 1]. Compressed codecs (MP3,
+    AAC, IMA-ADPCM, float WAV...) raise NotImplementedError — entropy
+    decoding needs codec libraries this environment does not ship."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("payload is not a RIFF/WAVE container")
+    fmt = data = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        sz = struct.unpack_from("<I", payload, i + 4)[0]
+        body = payload[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("WAVE file lacks fmt/data chunks")
+    audio_format, channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_format != 1 or channels < 1:
+        raise NotImplementedError("only integer PCM (wFormatTag=1) is supported")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError("only 8/16-bit PCM is supported")
+    n = len(x) // channels
+    return x[: n * channels].reshape(n, channels), int(sample_rate)
+
+
+def audio_features(samples: np.ndarray, sample_rate: int) -> List[float]:
+    """16-dim feature vector from decoded audio: duration (s), RMS, peak,
+    zero-crossing rate of the mono mix, then a 12-bin |amplitude|
+    histogram — the audio analog of ``pixel_features``."""
+    mono = samples.mean(axis=1) if samples.ndim > 1 else samples
+    n = max(1, mono.size)
+    zcr = float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) / n
+    hist, _ = np.histogram(np.abs(mono), bins=FEATURE_DIM - 4, range=(0.0, 1.0))
+    head = [
+        mono.size / float(sample_rate or 1),
+        float(np.sqrt(np.mean(mono**2))) if mono.size else 0.0,
+        float(np.max(np.abs(mono))) if mono.size else 0.0,
+        zcr,
+    ]
+    return [round(float(v), 6) for v in head + list(hist / n)]
+
+
+def frame_rms(samples: np.ndarray, sample_rate: int, every_ms: int = 100) -> List[float]:
+    """Per-frame RMS energy over fixed ``every_ms`` windows of the mono
+    mix — the audio frame-sampling step (vectorized: one reshape, no
+    Python loop over frames)."""
+    mono = samples.mean(axis=1) if samples.ndim > 1 else samples
+    step = max(1, sample_rate * every_ms // 1000)
+    n_frames = max(1, -(-mono.size // step))
+    padded = np.zeros(n_frames * step)
+    padded[: mono.size] = mono
+    frames = padded.reshape(n_frames, step)
+    return [round(float(v), 6) for v in np.sqrt((frames**2).mean(axis=1))]
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> List[float]:
+    """Decode + feature-extract one audio payload: PCM WAV decodes for real
+    (``decode_audio_array`` -> ``audio_features``); compressed codecs raise
+    NotImplementedError, or with ``fake=True`` fall back to the same
+    deterministic byte-histogram stand-in as ``decode_image``."""
+    try:
+        return audio_features(*decode_audio_array(payload))
+    except (NotImplementedError, ValueError, IndexError, struct.error):
+        if not fake:
+            raise
+    return _byte_histogram(payload)
+
+
+def _byte_histogram(payload: bytes) -> List[float]:
+    hist = [0] * FEATURE_DIM
+    for b in payload:
+        hist[b % FEATURE_DIM] += 1
+    total = float(len(payload)) or 1.0
+    return [round(h / total, 6) for h in hist]
+
+
 def decode_image(payload: bytes, fake: bool = False) -> List[float]:
     """Decode + feature-extract one image payload.
 
@@ -137,17 +226,28 @@ def decode_image(payload: bytes, fake: bool = False) -> List[float]:
         # content — strict mode surfaces it, fake mode falls back
         if not fake:
             raise
-    hist = [0] * FEATURE_DIM
-    for b in payload:
-        hist[b % FEATURE_DIM] += 1
-    total = float(len(payload)) or 1.0
-    return [round(h / total, 6) for h in hist]
+    return _byte_histogram(payload)
+
+
+def decode_media(payload: bytes, media_type: str, fake: bool = False) -> List[float]:
+    """Route one payload to its modality decoder: image -> PPM/PGM/BMP
+    parser, audio -> PCM WAV parser, video (no uncompressed container a
+    pure-numpy parser can handle) -> stand-in only."""
+    if media_type == "audio":
+        return decode_audio(payload, fake=fake)
+    if media_type == "video":
+        if not fake:
+            raise NotImplementedError("video decode needs codec libraries not present here")
+        return _byte_histogram(payload)
+    return decode_image(payload, fake=fake)
 
 
 def extract_features_df(media: DataFrame, fake: bool = True) -> DataFrame:
     """(media_id, media_type, n_bytes, features) via mapInPandas — binary
     payloads enter Python as Arrow buffers, features leave, payloads are
-    pruned from the output immediately."""
+    pruned from the output immediately. Decoding routes per media_type
+    (``decode_media``): real for uncompressed image/audio containers,
+    byte-histogram stand-in otherwise when ``fake``."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -165,7 +265,7 @@ def extract_features_df(media: DataFrame, fake: bool = True) -> DataFrame:
                 out["media_id"].append(mid)
                 out["media_type"].append(mtype)
                 out["n_bytes"].append(len(payload))
-                out["features"].append(decode_image(payload, fake=fake))
+                out["features"].append(decode_media(payload, mtype, fake=fake))
             yield pd.DataFrame(out)
 
     return media.select("media_id", "media_type", "payload").mapInPandas(gen, schema)

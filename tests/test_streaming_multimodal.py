@@ -128,6 +128,85 @@ def test_real_decode_ppm_pgm_bmp():
     assert big[0, 0].tolist() == [255, 0, 0] and big[3, 3].tolist() == [10, 20, 30]
 
 
+def _wav(samples_by_channel, sample_rate=8000, bits=16, extra_chunk=True):
+    """Minimal RIFF/WAVE PCM payload; ``extra_chunk`` plants an odd-sized
+    LIST chunk before fmt/data so the word-aligned chunk walk is exercised."""
+    import struct as _s
+
+    channels = len(samples_by_channel)
+    frames = list(zip(*samples_by_channel))
+    if bits == 16:
+        data = b"".join(_s.pack("<h", int(v)) for fr in frames for v in fr)
+    else:
+        data = bytes(int(v) for fr in frames for v in fr)
+    fmt = _s.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * channels * bits // 8, channels * bits // 8, bits)
+    chunks = b""
+    if extra_chunk:
+        chunks += b"LIST" + _s.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size -> pad byte
+    chunks += b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + _s.pack("<I", len(data)) + data
+    return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_real_decode_pcm_wav():
+    """decode_audio_array is REAL for PCM WAV: exact sample values back out
+    (16-bit signed and 8-bit unsigned), channels deinterleaved, extra RIFF
+    chunks skipped; frame_rms computes per-window energy exactly."""
+    import numpy as np
+
+    from pilsner_spark.operators.multimodal import (
+        audio_features,
+        decode_audio,
+        decode_audio_array,
+        frame_rms,
+    )
+
+    left, right = [0, 16384, -16384, 32767], [0, 0, 0, 0]
+    samples, rate = decode_audio_array(_wav([left, right], sample_rate=4))
+    assert rate == 4 and samples.shape == (4, 2)
+    assert samples[:, 0].tolist() == [v / 32768.0 for v in left]
+    assert samples[:, 1].tolist() == [0.0, 0.0, 0.0, 0.0]
+
+    s8, _ = decode_audio_array(_wav([[128, 0, 255]], bits=8))
+    assert s8[:, 0].tolist() == [0.0, -1.0, 127 / 128.0]
+
+    # features: 16-dim, duration = n/rate; mono mix halves the left channel
+    f = audio_features(samples, rate)
+    assert len(f) == 16 and f[0] == 1.0  # 4 frames at 4 Hz
+    assert f == decode_audio(_wav([left, right], sample_rate=4), fake=False)
+
+    # frame_rms: 1-frame-per-sample windows give |sample| back
+    mono = np.array([[0.5], [-0.5], [0.0], [1.0]])
+    assert frame_rms(mono, sample_rate=1000, every_ms=1) == [0.5, 0.5, 0.0, 1.0]
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04mp3bytes", fake=False)
+    fallback = decode_audio(b"ID3\x04mp3bytes", fake=True)
+    assert len(fallback) == 16
+
+
+def test_audio_routing_in_features_df(spark):
+    """An audio payload routes to the WAV decoder inside the Arrow extract
+    path while image rows in the same batch use the image decoder."""
+    from pyspark.sql import types as T
+
+    from pilsner_spark.operators.multimodal import audio_features, decode_audio_array, decode_image_array, pixel_features
+
+    wav = _wav([[0, 16384, -16384, 32767]], sample_rate=4)
+    ppm = _ppm(2, 2, [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]])
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+        ]
+    )
+    media = spark.createDataFrame([(0, bytearray(wav), "audio"), (1, bytearray(ppm), "image")], schema)
+    got = {r.media_id: r.features for r in extract_features_df(media, fake=False).collect()}
+    assert got[0] == audio_features(*decode_audio_array(wav))
+    assert got[1] == pixel_features(decode_image_array(ppm))
+
+
 def test_real_decode_in_features_df(spark):
     """A real PPM payload flows through the Arrow extract path with true
     pixel features; non-image payloads in the same batch fall back."""
