@@ -98,6 +98,52 @@ def minhash_blocks(
     return with_sig.select("turn_key", F.explode(F.array(*bands)).alias("block_key"))
 
 
+def snm_blocks(
+    turns: DataFrame,
+    window_size: int = 4,
+    norm_col: str = "norm_text",
+) -> DataFrame:
+    """Sorted-neighborhood as a BLOCK family, pipeline-composable next to
+    token and MinHash-band blocks: records sorted by
+    (tool, role, normalized text), each record at global rank r emits the
+    window-id keys 'snm#w' for w in [r-window_size+1, r] — two records
+    share a window key iff their rank distance is < window_size, exactly
+    the SNM pair set. Catches near-dup turns that token blocking loses to
+    DF caps and band blocking loses to signature noise, at a bounded
+    budget: every window key has at most ``window_size`` members by
+    construction (ranks w..w+window_size-1), so this family NEVER needs
+    salting and its pair mass is exactly linear in records.
+
+    The (tool, role) scoping rides in the sort key prefix, so windows stay
+    inside one keyspace except at boundaries — boundary pairs are merely
+    extra candidates for the scorer, which decides on entity evidence.
+    Adjacent pairs co-occur in up to window_size-1 windows; the pipeline
+    scores duplicates rather than paying a pair-table distinct (same
+    measured trade as ``candidate_pairs(dedupe=False)``) and dedupes the
+    small match-edge set downstream."""
+    sk = F.concat_ws("\x01", F.col("tool"), F.col("role"), F.col(norm_col))
+    bucket = F.concat_ws(
+        "\x01", F.col("tool"), F.col("role"), F.substring(F.col(norm_col), 1, 1)
+    )
+    ranked = global_sort_ranks(
+        turns.select("turn_key", sk.alias("_sk"), bucket.alias("_bk")),
+        "_sk",
+        "turn_key",
+        bucket_col=F.col("_bk"),
+    )
+    return ranked.select(
+        F.col("id").alias("turn_key"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1), F.col("rank") - window_size + 1), F.col("rank")
+            )
+        ).alias("w"),
+    ).select(
+        "turn_key",
+        F.concat_ws("#", F.lit("snm"), F.col("w").cast("string")).alias("block_key"),
+    )
+
+
 def salt_oversized_blocks(
     blocks: DataFrame,
     max_block_size: int = 200,
@@ -241,6 +287,7 @@ def global_sort_ranks(
     sort_col: str,
     id_col: str,
     bucket_prefix_len: int = 1,
+    bucket_col=None,
 ) -> DataFrame:
     """Dense global rank (1..N) of every record under the total order
     (sort_col, id_col) — WITHOUT a single-partition window.
@@ -256,12 +303,17 @@ def global_sort_ranks(
     ``repartitionByRange`` this is fully deterministic — no sampled bounds,
     so two actions over the result see identical ranks without a checkpoint.
     Skewed prefixes (many records sharing one first character) are handled
-    by raising ``bucket_prefix_len``.
+    by raising ``bucket_prefix_len``, or by passing an explicit
+    ``bucket_col`` Column — any expression that is a *prefix* of the sort
+    key (prefix order = sort order is the invariant the two-level rank
+    rests on; with a separator char below the printable range, a
+    structured concat prefix like tool\\x01role\\x01<first text char>
+    qualifies).
     """
     base = records.select(
         F.col(id_col).alias("id"),
         F.col(sort_col).alias("sk"),
-        F.substring(F.col(sort_col), 1, bucket_prefix_len).alias("bk"),
+        (bucket_col if bucket_col is not None else F.substring(F.col(sort_col), 1, bucket_prefix_len)).alias("bk"),
     )
     counts = base.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
     run = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)

@@ -22,6 +22,7 @@ from pilsner_spark.operators.blocking import (
     candidate_pairs,
     minhash_blocks,
     salt_oversized_blocks,
+    snm_blocks,
     token_blocks,
     with_turn_key,
 )
@@ -89,6 +90,7 @@ def run_er_pipeline(
     use_minhash_blocks: bool = True,
     minhash_num_hashes: int = 16,
     minhash_band_size: int = 2,
+    snm_window: int = 0,
     fuse_pairs: bool = True,
     compact_scored: bool = True,
 ) -> Dict[str, object]:
@@ -101,6 +103,9 @@ def run_er_pipeline(
     shared tokens were DF-capped away (``max_token_df``) and adds a second,
     structurally different candidate source. Both go through the same
     salting; the oversized-key report covers both key families.
+    ``snm_window`` > 1 unions a third, sort-order-based family
+    (``snm_blocks``: sorted-neighborhood window keys, bounded at
+    window_size members per key by construction — never salted).
 
     Returns {'clusters': DataFrame, 'metrics': dict, 'pipeline': Pipeline}.
     """
@@ -114,6 +119,7 @@ def run_er_pipeline(
         "use_minhash_blocks": use_minhash_blocks,
         "minhash_num_hashes": minhash_num_hashes,
         "minhash_band_size": minhash_band_size,
+        "snm_window": snm_window,
         # split scored plan (base set-features stage + undecided-only JW
         # stage); also versions the checkpoint schema so pre-split workdirs
         # recompute instead of resuming into the wrong layout
@@ -143,6 +149,8 @@ def run_er_pipeline(
             blocks = blocks.unionByName(
                 minhash_blocks(turns, num_hashes=minhash_num_hashes, band_size=minhash_band_size)
             )
+        if snm_window > 1:
+            blocks = blocks.unionByName(snm_blocks(turns, window_size=snm_window))
         salted, oversized = salt_oversized_blocks(blocks, max_block_size, salt_buckets)
         # one aggregation job for the no-silent-truncation report, split by
         # key family so band-key skew is visible separately from token skew
@@ -538,6 +546,7 @@ def main() -> None:
     parser.add_argument("--entities", type=int, default=2000)
     parser.add_argument("--max-token-df", type=int, default=None, help="drop blocking tokens with document frequency above this (filler-stopword cap)")
     parser.add_argument("--hard-every", type=int, default=None, help="every Nth conversation is a hard-slice template conversation (sample dictionary only)")
+    parser.add_argument("--snm-window", type=int, default=0, help="union sorted-neighborhood window-key blocks (window size; 0/1 = off)")
     parser.add_argument("--fuse-pairs", action=argparse.BooleanOptionalAction, default=True, help="skip the candidate-pair checkpoint and feed the self-join plan straight into scoring (default; --no-fuse-pairs restores the per-stage pair checkpoint for finer resume)")
     parser.add_argument("--skip-eval", action="store_true", help="skip the (untimed) F1 + recall audit pass — for timing-only A/B runs; never use when reporting quality numbers")
     args = parser.parse_args()
@@ -563,7 +572,7 @@ def main() -> None:
     ).save()
 
     start = time.time()
-    result = run_er_pipeline(spark, args.workdir, transcripts, model=model, max_token_df=args.max_token_df, fuse_pairs=args.fuse_pairs)
+    result = run_er_pipeline(spark, args.workdir, transcripts, model=model, max_token_df=args.max_token_df, fuse_pairs=args.fuse_pairs, snm_window=args.snm_window)
     wall = time.time() - start  # the pipeline (all stages materialized)
     # row counts come from stage lineage — no extra count jobs in the
     # timed window; the F1 audit below reads the materialized checkpoints

@@ -197,6 +197,62 @@ def test_bcubed_hand_computed(spark):
     assert got["f1"] == round(44 / 69, 6)
 
 
+def test_snm_blocks_pair_equivalence(spark):
+    """snm_blocks' window keys induce EXACTLY the sorted-neighborhood pair
+    set over the (tool, role, norm_text) sort order, and every window key
+    is bounded at window_size members (the no-salting-needed invariant)."""
+    from pilsner_spark.operators.blocking import snm_blocks, sorted_neighborhood_pairs
+
+    rows = [
+        (f"c{i}#0", t, "assistant", txt)
+        for i, (t, txt) in enumerate(
+            [
+                ("search", "alpha beta"),
+                ("search", "alpha gamma"),
+                ("search", "delta"),
+                ("browse", "alpha beta"),
+                ("browse", "epsilon"),
+                ("search", "alphq beta"),  # typo'd near-neighbor of alpha*
+                ("search", "zeta"),
+            ]
+        )
+    ]
+    turns = spark.createDataFrame(rows, "turn_key string, tool string, role string, norm_text string")
+    blocks = snm_blocks(turns, window_size=3)
+    sizes = blocks.groupBy("block_key").count().collect()
+    assert max(r["count"] for r in sizes) <= 3
+
+    got = {
+        frozenset((r.ka, r.kb))
+        for r in blocks.alias("a")
+        .join(blocks.alias("b"), "block_key")
+        .filter(F.col("a.turn_key") < F.col("b.turn_key"))
+        .select(F.col("a.turn_key").alias("ka"), F.col("b.turn_key").alias("kb"))
+        .collect()
+    }
+    sk = F.concat_ws("\x01", F.col("tool"), F.col("role"), F.col("norm_text"))
+    expected = {
+        frozenset((r.id_a, r.id_b))
+        for r in sorted_neighborhood_pairs(
+            turns.select("turn_key", sk.alias("sk")), "sk", "turn_key", window_size=3
+        ).collect()
+    }
+    assert got == expected and len(got) >= 11
+
+
+def test_er_pipeline_snm_window_f1(spark, transcripts, tmp_path):
+    """With the sorted-neighborhood block family unioned in, the pipeline
+    still earns F1 = 1.0 and scores at least as many candidate pairs (the
+    extra family only ADDS candidates; the scorer decides them)."""
+    base = run_er_pipeline(spark, str(tmp_path / "base"), transcripts)
+    snm = run_er_pipeline(spark, str(tmp_path / "snm"), transcripts, snm_window=4)
+    n_base = int(base["metrics"]["scored_pairs"]["pairs_full"])
+    n_snm = int(snm["metrics"]["scored_pairs"]["pairs_full"])
+    assert n_snm > n_base
+    scores = evaluate_f1(snm["pairs_all"], snm["clusters"], transcripts)
+    assert scores["f1"] >= 0.99, scores
+
+
 def test_er_pipeline_f1_gate(spark, transcripts, tmp_path):
     """The BASELINE.json gate: pairwise F1 >= 0.99 on labeled pairs at the
     same blocking key, sample-dictionary entity assignments as truth."""
