@@ -27,6 +27,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
+    "blocking_sorted_neighborhood",
     "ann_brute_topk",
     "ann_ivf_topk",
     "text_stats",
