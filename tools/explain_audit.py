@@ -86,6 +86,16 @@ CHECKS = {
             ("no Python anywhere (pure JVM signature + filter)", r"ArrowEvalPython|BatchEvalPython|MapInPandas"),
         ],
     },
+    "blocking_sorted_neighborhood": {
+        "want": [
+            ("bucket offsets broadcast back over records", r"BroadcastHashJoin"),
+            ("rank window partitioned by bucket (two-level rank, not a single-partition window over records)", r"windowspecdefinition\(bk#"),
+            ("pair distinct = partial+final hash aggregate", r"HashAggregate"),
+        ],
+        # the only single-partition window is over the tiny per-bucket count
+        # table (<= alphabet^prefix rows) — documented on global_sort_ranks
+        "avoid": [("no Python nodes", r"EvalPython")],
+    },
     "window_top_orders": {
         "want": [
             ("single window shuffle", r"hashpartitioning\(o_custkey"),
