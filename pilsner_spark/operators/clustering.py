@@ -56,14 +56,24 @@ def connected_components(
     labels = adj.select(F.col("src").alias("vid")).distinct().withColumn("label", F.col("vid"))
     converged = False
     iterations = 0
-    new_labels = None
-    for _ in range(max_iter):
+    changed = 0
+    for i in range(max_iter):
         iterations += 1
         nbr_min = (
             adj.join(labels, adj.dst == labels.vid)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # ONE Spark job per iteration: the changed-label count rides the
+        # checkpoint job as an Observation instead of a second count action
+        # — at web scale the loop cost is per-iteration JOB overhead
+        # (driver barriers), not data volume, so halving the jobs halves
+        # the stage's fixed cost (measured: the tables are tiny after the
+        # star sparsification, yet each extra action costs ~1s of
+        # scheduling latency per iteration)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"cc_changed_{i}")
         new_labels = (
             labels.join(nbr_min, labels.vid == nbr_min.src, "left")
             .select(
@@ -71,15 +81,17 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("new_label"),
                 "label",
             )
-        ).localCheckpoint()
-        changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).count()
+            .observe(obs, F.sum((F.col("new_label") != F.col("label")).cast("long")).alias("changed"))
+            .localCheckpoint()
+        )
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels.select("vid", F.col("new_label").alias("label"))
         if changed == 0:
             converged = True
             break
     unconverged_labels = 0
-    if not converged and new_labels is not None:
-        unconverged_labels = new_labels.filter(F.col("new_label") != F.col("label")).count()
+    if not converged:
+        unconverged_labels = changed
         _LOG.warning(
             "connected_components exhausted max_iter=%d with %d labels still changing; "
             "returned clusters may be split (raise max_iter)",

@@ -276,6 +276,54 @@ def split_match_edges(
     return shared.union(sim).distinct()
 
 
+def star_shared_edges(blocks: DataFrame, turn_entities: DataFrame) -> DataFrame:
+    """Connectivity-equivalent sparsification of the shared-entity match
+    edges: per (block key, entity) group, connect every member turn to the
+    group's MINIMUM turn instead of to every other member.
+
+    Why it's exact: a shared-entity match edge exists iff two turns share a
+    block AND an entity (score_pairs' ``shared_entity`` over candidate
+    pairs) — i.e. the pairwise edges form a clique on each (block, entity)
+    group, and a star spans a clique's vertices with identical transitive
+    closure, so connected components are unchanged (parity-pinned by
+    test_star_edges_cluster_parity).
+
+    Why it matters: the pairwise edge mass is quadratic in group size
+    (millions of edges on the synthetic corpus; the dominant hidden cost of
+    the clustering stage was materializing it), the star is LINEAR in block
+    membership rows — the same clique-to-linear move the dedup family makes
+    with bucketed pair expansion. Pass the SAME salted block view candidate
+    pairs were built from, so edge scope matches pair scope exactly."""
+    ent = turn_entities.select("turn_key", F.explode("mention_entities").alias("entity"))
+    membership = blocks.join(ent, "turn_key").select("block_key", "entity", "turn_key")
+    hubs = membership.groupBy("block_key", "entity").agg(F.min("turn_key").alias("hub"))
+    return (
+        membership.join(hubs, ["block_key", "entity"])
+        .filter(F.col("turn_key") != F.col("hub"))
+        .select(F.col("hub").alias("key_a"), F.col("turn_key").alias("key_b"))
+        .distinct()
+    )
+
+
+def star_match_edges(
+    blocks: DataFrame,
+    turn_entities: DataFrame,
+    jw_scores: DataFrame,
+    jw_threshold: float = 0.92,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Full match-edge set for clustering, with the shared-entity component
+    sparsified to stars (``star_shared_edges``) and the similarity
+    component taken pairwise from the tiny jw slice — same components as
+    ``split_match_edges``, linear edge mass."""
+    sim = jw_scores.filter(
+        ~F.col("conflicting_entities")
+        & (F.col("jw") >= jw_threshold)
+        & (F.col("jaccard") >= jaccard_threshold)
+    ).select("key_a", "key_b")
+    return star_shared_edges(blocks, turn_entities).unionByName(sim).distinct()
+
+
 def finalize_scored(
     base: DataFrame,
     jw_scores: DataFrame,

@@ -36,7 +36,7 @@ from pilsner_spark.operators.scoring import (
     finalize_scored,
     jw_scores_for_undecided,
     score_pairs_base,
-    split_match_edges,
+    star_match_edges,
     turn_features,
 )
 from pilsner_spark.sources.catalog import Catalog
@@ -143,7 +143,7 @@ def run_er_pipeline(
     )
     mention_entities = with_turn_key(turn_entities_df(mentions))
 
-    def build_blocks() -> DataFrame:
+    def build_raw_blocks() -> DataFrame:
         blocks = token_blocks(turns, max_df=max_token_df)
         if use_minhash_blocks:
             blocks = blocks.unionByName(
@@ -151,12 +151,29 @@ def run_er_pipeline(
             )
         if snm_window > 1:
             blocks = blocks.unionByName(snm_blocks(turns, window_size=snm_window))
-        salted, oversized = salt_oversized_blocks(blocks, max_block_size, salt_buckets)
-        # one aggregation job for the no-silent-truncation report, split by
-        # key family so band-key skew is visible separately from token skew
-        # band keys are 'mh<band#>#<hash>#<tool>#<role>' (blocking.minhash_blocks);
-        # a full-prefix match, not startswith('mh') — a corpus token beginning
-        # with 'mh' (e.g. 'mhz') must not be miscounted as a band key
+        return blocks
+
+    # The checkpoint holds the RAW (pre-salt) block table: the block
+    # CONSTRUCTION (token explode + MinHash signatures over every turn) is
+    # the expensive side, and ``salt_oversized_blocks`` references its input
+    # three times (sizes aggregation, salted join, anti join) — salting
+    # inside the write used to recompute the construction plan 3x, plus a
+    # 4th full recompute for the oversized-key report. Materializing raw
+    # once and deriving the salted view lazily makes every reference a
+    # columnar checkpoint scan instead. Salting is deterministic from the
+    # checkpoint, so resume semantics are unchanged (layout is versioned
+    # via the blocks_layout param). Salted and raw have identical row
+    # counts (salting only rewrites hot keys), so the lineage-based
+    # broadcast estimate below is unaffected.
+    raw_blocks = pipe.stage("blocks", build_raw_blocks, params={"blocks_layout": "raw-v1"})
+    blocks, oversized = salt_oversized_blocks(raw_blocks, max_block_size, salt_buckets)
+    if not pipe.metrics["blocks"].get("resumed"):
+        # one cheap aggregation over the checkpoint for the
+        # no-silent-truncation report, split by key family so band-key skew
+        # is visible separately from token skew. Band keys are
+        # 'mh<band#>#<hash>#<tool>#<role>' (blocking.minhash_blocks); a
+        # full-prefix match, not startswith('mh') — a corpus token beginning
+        # with 'mh' (e.g. 'mhz') must not be miscounted as a band key.
         counts = oversized.agg(
             F.count("*").alias("total"),
             F.sum(F.when(F.col("block_key").rlike("^mh[0-9]+#"), 1).otherwise(0)).alias("band"),
@@ -166,9 +183,11 @@ def run_er_pipeline(
             "band_keys": int(counts["band"] or 0),
             "token_keys": int((counts["total"] or 0) - (counts["band"] or 0)),
         }
-        return salted
-
-    blocks = pipe.stage("blocks", build_blocks)
+        pipe.catalog.amend_lineage("blocks", {"salted_keys": pipe.metrics["blocking_salted_keys"]})
+    else:
+        pipe.metrics["blocking_salted_keys"] = (pipe.metrics["blocks"] or {}).get(
+            "salted_keys", {}
+        )
     # broadcast decisions from checkpoint lineage (no extra count jobs):
     # per-turn/per-block side tables are O(turns) while pairs are
     # O(block_size x turns) — broadcast keeps those joins shuffle-free
@@ -266,13 +285,18 @@ def run_er_pipeline(
         broadcast_jw=0 <= n_jw * 96 <= broadcast_block_bytes,
     )
     cc_stats: Dict[str, object] = {}
+    # star-sparsified shared edges (linear in block membership) + the tiny
+    # pairwise similarity slice — identical components to the pairwise
+    # match_edges view (parity-pinned), without materializing the quadratic
+    # shared-entity clique mass into the CC loop
     clusters = pipe.stage(
         "entity_clusters",
         lambda: cluster_turns(
             turns,
-            split_match_edges(scored_base, jw_slice, jw_threshold, jaccard_threshold),
+            star_match_edges(blocks, mention_entities, jw_slice, jw_threshold, jaccard_threshold),
             stats=cc_stats,
         ),
+        params={"cluster_edges": "star-v1"},
     )
     if cc_stats:  # empty when the stage was resumed from checkpoint
         pipe.metrics["clustering_convergence"] = dict(cc_stats)
@@ -284,6 +308,11 @@ def run_er_pipeline(
         "clusters": clusters,
         "scored": scored,
         "pairs_all": pairs.select("key_a", "key_b"),
+        # the salted block view (lazy over the raw checkpoint) — what
+        # candidate pairs were actually built from; audits (blocking_recall
+        # family split) must use THIS, not the raw checkpoint, so reported
+        # recall reflects salting loss honestly
+        "blocks_salted": blocks,
         "metrics": pipe.metrics,
         "pipeline": pipe,
     }
@@ -593,7 +622,7 @@ def main() -> None:
         recall_report = blocking_recall(
             transcripts,
             caught_true_pairs=scores["tp"] + scores["fn"],
-            blocks=result["pipeline"].catalog.read("blocks") if family_split else None,
+            blocks=result["blocks_salted"] if family_split else None,
             clusters=result["clusters"],
         )
     eval_wall = time.time() - eval_start
@@ -606,7 +635,7 @@ def main() -> None:
         "f1_eval_seconds": round(eval_wall, 2),
         **({"blocking_recall": recall_report} if recall_report is not None else {}),
         **scores,
-        "stages": {k: {kk: v[kk] for kk in ("rows", "wall_seconds", "resumed", "count", "band_keys", "token_keys", "iterations", "converged", "unconverged_labels", "fused", "pairs_full", "undecided_rows", "shared_rows") if isinstance(v, dict) and kk in v} for k, v in result["metrics"].items()},
+        "stages": {k: {kk: v[kk] for kk in ("rows", "wall_seconds", "stage_wall_seconds", "resumed", "count", "band_keys", "token_keys", "iterations", "converged", "unconverged_labels", "fused", "pairs_full", "undecided_rows", "shared_rows") if isinstance(v, dict) and kk in v} for k, v in result["metrics"].items()},
     }
     print(json.dumps(report))
     spark.stop()

@@ -253,6 +253,36 @@ def test_er_pipeline_snm_window_f1(spark, transcripts, tmp_path):
     assert scores["f1"] >= 0.99, scores
 
 
+def test_star_edges_cluster_parity(spark, transcripts, tmp_path):
+    """The star-sparsified edge set must produce the EXACT cluster table
+    (ids included — component minimum member) that the pairwise match-edge
+    view produces: stars span each (block, entity) clique with the same
+    transitive closure. Non-vacuous: the corpus must contain multi-member
+    groups (real sparsification) and similarity-only edges must survive."""
+    from pilsner_spark.operators.clustering import cluster_turns
+    from pilsner_spark.operators.scoring import match_edges
+
+    result = run_er_pipeline(spark, str(tmp_path / "work"), transcripts)
+    turns = result["pipeline"].catalog.read("turns_normalized")
+    pairwise_edges = match_edges(result["scored"])
+    star_clusters = {(r.turn_key, r.cluster_id) for r in result["clusters"].collect()}
+    pairwise_clusters = {
+        (r.turn_key, r.cluster_id)
+        for r in cluster_turns(turns, pairwise_edges).collect()
+    }
+    assert star_clusters == pairwise_clusters
+    # real sparsification happened: the star set is materially smaller
+    from pilsner_spark.operators.blocking import with_turn_key as _wtk
+    from pilsner_spark.operators.mentions import turn_entities_df
+    from pilsner_spark.operators.scoring import star_shared_edges
+
+    mentions = result["pipeline"].catalog.read("mentions")
+    ents = _wtk(turn_entities_df(mentions))
+    n_star = star_shared_edges(result["blocks_salted"], ents).count()
+    n_pairwise = pairwise_edges.count()
+    assert 0 < n_star < n_pairwise / 2
+
+
 def test_er_pipeline_f1_gate(spark, transcripts, tmp_path):
     """The BASELINE.json gate: pairwise F1 >= 0.99 on labeled pairs at the
     same blocking key, sample-dictionary entity assignments as truth."""
@@ -270,7 +300,7 @@ def test_er_pipeline_f1_gate(spark, transcripts, tmp_path):
     br = blocking_recall(
         transcripts,
         caught_true_pairs=scores["tp"] + scores["fn"],
-        blocks=result["pipeline"].catalog.read("blocks"),
+        blocks=result["blocks_salted"],
         clusters=result["clusters"],
     )
     assert 0 < br["true_pairs_blocked"] <= br["true_pairs_same_keyspace"] <= br["true_pairs_total"]
