@@ -656,6 +656,52 @@ def q_ann_pq_topk(spark, sf_dir):
 # -- text analysis ------------------------------------------------------------
 
 
+def q_text_tfidf(spark, sf_dir):
+    """Relational TF-IDF over the documents table: tf and df as two hash
+    aggregations (df re-aggregates tf — text is scanned once), corpus size
+    as a broadcast 1-row cross join, idf = ln(N/df)."""
+    from pilsner_spark.functions.text import tfidf_table
+
+    return tfidf_table(_t(spark, sf_dir, "documents"))
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic exactly-k-per-stratum sample (k=20 per lang): rank by
+    md5(seed, id) inside each stratum — a reproducible shuffle order any
+    engine can replay."""
+    from pilsner_spark.operators.packing import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "lang", "doc_id", k_per_stratum=20, seed="s1")
+
+
+def q_split_assign(spark, sf_dir):
+    """Hash-boundary train/val/test assignment (8/1/1): exact integer
+    thresholds in the 52-bit md5-prefix space, so every engine lands every
+    record on the same side — no float accumulation, no RNG state."""
+    from pilsner_spark.operators.packing import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_split(docs, "doc_id", {"train": 8, "val": 1, "test": 1}, seed="sp")
+
+
+def q_pack_token_budget(spark, sf_dir):
+    """Sequence packing at a 512-token budget: offset packing over the
+    zero-padded doc_id order — bin_id = floor(global exclusive running
+    token total / budget), computed with the bucketed two-level prefix sum
+    (no single-partition window)."""
+    from pilsner_spark.operators.packing import pack_by_budget
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("sk"),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).alias("n_tok"),
+    )
+    return pack_by_budget(docs, "sk", "doc_id", "n_tok", budget=512).select(
+        F.col("id").alias("doc_id"), "n_tokens", "bin_id", "offset_in_bin"
+    )
+
+
 def q_text_stats(spark, sf_dir):
     from pilsner_spark.functions import text as TX
 
@@ -816,6 +862,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "text_tfidf": q_text_tfidf,
+        "sample_stratified": q_sample_stratified,
+        "split_assign": q_split_assign,
+        "pack_token_budget": q_pack_token_budget,
         "text_stats": q_text_stats,
         "text_quality_langid": q_text_quality_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -1240,6 +1290,35 @@ def oracle_sql() -> dict[str, str]:
             "select query_id, neighbor_id, rank, cosine from "
             "(select *, row_number() over (partition by query_id order by cosine desc, neighbor_id asc) as rank from scored) "
             "where rank <= 5"
+        ),
+        "text_tfidf": (
+            "with toks as (select doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) as token from documents), "
+            "tf as (select doc_id, token, count(*) as tf from toks group by doc_id, token), "
+            "dfc as (select token, count(*) as df from tf group by token), "
+            "n as (select count(*) as n_docs from documents) "
+            "select tf.doc_id, tf.token, tf.tf, dfc.df, "
+            "round(tf.tf * ln(cast(n_docs as double) / df), 6) as tfidf "
+            "from tf join dfc using (token) cross join n"
+        ),
+        "sample_stratified": (
+            "select doc_id, lang from ("
+            "select doc_id, lang, row_number() over (partition by lang "
+            "order by md5(concat('s1#', cast(doc_id as varchar))), doc_id) as r from documents) "
+            "where r <= 20"
+        ),
+        "split_assign": (
+            "select doc_id, case "
+            "when cast(concat('0x', substr(md5(concat('sp#', cast(doc_id as varchar))), 1, 13)) as bigint) < 450359962737049 then 'test' "
+            "when cast(concat('0x', substr(md5(concat('sp#', cast(doc_id as varchar))), 1, 13)) as bigint) < 4053239664633446 then 'train' "
+            "else 'val' end as split from documents"
+        ),
+        "pack_token_budget": (
+            "with t as (select doc_id, len(list_filter(string_split(text, ' '), x -> x != '')) as n_tokens, "
+            "lpad(cast(doc_id as varchar), 8, '0') as sk from documents), "
+            "c as (select doc_id, n_tokens, coalesce(sum(n_tokens) over "
+            "(order by sk, doc_id rows between unbounded preceding and 1 preceding), 0) as cum_excl from t) "
+            "select doc_id, n_tokens, cast(floor(cum_excl / 512) as bigint) as bin_id, "
+            "cast(cum_excl - cast(floor(cum_excl / 512) as bigint) * 512 as bigint) as offset_in_bin from c"
         ),
         "text_stats": (
             "with t as (select doc_id, text, list_filter(string_split(text, ' '), x -> x != '') as ts from documents) "

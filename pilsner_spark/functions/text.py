@@ -89,3 +89,36 @@ def md5_long(col: Column) -> Column:
     — the engine-portable substitute for xxhash64 wherever an oracle needs
     to reproduce hashing."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def tfidf_table(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-(document, token) TF-IDF over whitespace tokens: tf = raw
+    in-document count, idf = ln(N / df) with df = number of documents
+    containing the token. The corpus-selection workhorse (rare-term
+    weighting for quality filtering / near-dup triage) kept fully
+    relational: two hash aggregations (tf, then df as a re-aggregation of
+    tf — never a second pass over text) plus one broadcast of the 1-row
+    corpus count; the token join shuffles on the token key. No token
+    dictionary is ever collected, so vocabulary size is unbounded.
+    Rounded to 6 dp for engine portability (ln differs in the last ulp
+    across libm implementations)."""
+    from pyspark.sql import DataFrame  # noqa: F401  (documentation import)
+
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.col("df"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )

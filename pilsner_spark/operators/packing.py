@@ -1,0 +1,150 @@
+"""Training-data batch preparation: deterministic sampling, split
+assignment, and token-budget sequence packing.
+
+These are the operators an LLM training-data pipeline runs AFTER dedup and
+quality filtering: carve reproducible samples/splits without shuffling the
+corpus, and pack variable-length documents into fixed token-budget bins
+(sequence packing) so a trainer reads dense batches. Everything here is
+deterministic (hash- or sort-order-driven, no RNG state) — the property
+that makes 100 TB runs resumable and auditable: re-running any stage
+reproduces the same sample / split / bin for every row.
+
+Scale shapes:
+* stratified sampling / split assignment are one window per stratum
+  (bounded partitions) or a pure hash expression (no shuffle at all);
+* packing needs a GLOBAL running total of token counts — computed with the
+  same bucketed two-level trick as ``blocking.global_sort_ranks`` (bucket
+  prefix sums broadcast back + in-bucket running-sum window), so no
+  single-partition window ever sees the full table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def deterministic_split(
+    records: DataFrame,
+    id_col: str,
+    weights: dict,
+    seed: str = "split",
+) -> DataFrame:
+    """Assign every record a split label ('train'/'val'/...) from a hash of
+    its id — stable across runs, machines, and partitionings; NO shuffle
+    (pure projection). ``weights`` maps label -> relative weight; boundaries
+    are carved from the md5-derived uniform in [0, 1). A record's split
+    never changes when other records come or go — the property random
+    splits lack and deduped/incremental corpora need.
+
+    Boundaries are exact integers in the 52-bit hash space (no float
+    accumulation), so any engine recomputing the same md5 prefix lands
+    every record on the same side of every boundary — bit-reproducible
+    across Spark, DuckDB, and whatever reads the table next."""
+    total = sum(weights.values())
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("#", F.lit(seed), F.col(id_col).cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    labels = sorted(weights)  # deterministic boundary order
+    expr = None
+    acc = 0
+    for label in labels[:-1]:
+        acc += weights[label]
+        cond = h < F.lit((16**13) * acc // total)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    expr = F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1]))
+    return records.withColumn("split", expr)
+
+
+def stratified_sample(
+    records: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    k_per_stratum: int,
+    seed: str = "sample",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank records inside each
+    stratum by the md5 of (seed, id) — a reproducible shuffle order — and
+    keep the first k. One shuffle (the per-stratum window); partitions are
+    bounded by stratum size, and hot strata only ever rank, never expand.
+    Ties impossible: the hash input embeds the unique id, and the id itself
+    tie-breaks equal hashes."""
+    h = F.md5(F.concat_ws("#", F.lit(seed), F.col(id_col).cast("string")))
+    win = Window.partitionBy(stratum_col).orderBy(h, F.col(id_col))
+    return (
+        records.withColumn("_r", F.row_number().over(win))
+        .filter(F.col("_r") <= k_per_stratum)
+        .drop("_r")
+    )
+
+
+def global_running_totals(
+    records: DataFrame,
+    sort_col: str,
+    id_col: str,
+    value_col: str,
+    bucket_prefix_len: int = 1,
+) -> DataFrame:
+    """Exclusive global running sum of ``value_col`` under the total order
+    (sort_col, id_col) — the distributed prefix-sum, WITHOUT a
+    single-partition window (same two-level construction as
+    ``blocking.global_sort_ranks``: the sort key's own prefix buckets the
+    data, per-bucket value sums prefix-scan on the tiny bucket table and
+    broadcast back, an in-bucket window finishes the job).
+
+    Returns (id, sk, v, cum_excl): cum_excl = sum of v over all strictly
+    earlier records in sort order.
+    """
+    base = records.select(
+        F.col(id_col).alias("id"),
+        F.col(sort_col).alias("sk"),
+        F.col(value_col).cast("long").alias("v"),
+        F.substring(F.col(sort_col), 1, bucket_prefix_len).alias("bk"),
+    )
+    sums = base.groupBy("bk").agg(F.sum("v").alias("bsum"))
+    run = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select("bk", F.coalesce(F.sum("bsum").over(run), F.lit(0)).alias("off"))
+    in_bucket = (
+        Window.partitionBy("bk")
+        .orderBy("sk", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(offsets), "bk")
+        .withColumn("cum_excl", F.col("off") + F.coalesce(F.sum("v").over(in_bucket), F.lit(0)))
+        .select("id", "sk", "v", "cum_excl")
+    )
+
+
+def pack_by_budget(
+    records: DataFrame,
+    sort_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    bucket_prefix_len: int = 1,
+) -> DataFrame:
+    """Sequence packing: assign each document a bin so every bin holds
+    ~``budget`` tokens of consecutive (by sort order) documents —
+    bin_id = floor(exclusive-running-token-total / budget).
+
+    This is *offset packing* (the deterministic, fully-parallel scheme):
+    bins are contiguous token ranges of the globally ordered stream, so a
+    document can straddle a budget boundary — it lands in the bin its FIRST
+    token falls in, and that bin overflows by at most one document. The
+    alternatives (first-fit-decreasing bin packing) are inherently
+    sequential; offset packing is the one that scales to 10^12 documents
+    while staying reproducible, and trainers absorb the bounded overflow by
+    truncation or bridging. ``offset_in_bin`` gives the document's start
+    position inside its bin, so downstream concat/pad logic needs no second
+    pass. Choose ``sort_col`` to co-locate what should share a bin (e.g.
+    source or language prefix)."""
+    totals = global_running_totals(records, sort_col, id_col, tokens_col, bucket_prefix_len)
+    return totals.select(
+        F.col("id"),
+        F.col("v").alias("n_tokens"),
+        F.floor(F.col("cum_excl") / budget).alias("bin_id"),
+        (F.col("cum_excl") - F.floor(F.col("cum_excl") / budget) * budget).alias("offset_in_bin"),
+    )

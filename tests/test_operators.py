@@ -278,6 +278,61 @@ def test_sorted_neighborhood_window_pairs(spark):
     assert got == expected
 
 
+def test_pack_by_budget_hand_computed(spark):
+    """Offset packing, budget 10, docs in sort order with token counts
+    [4, 4, 4, 9, 2]: exclusive running totals [0, 4, 8, 12, 21] ->
+    bins [0, 0, 0, 1, 2], offsets [0, 4, 8, 2, 1]. Doc c straddles the
+    boundary (starts at 8, ends at 12) — lands in bin 0 per the documented
+    rule. Sort keys span two prefix buckets."""
+    from pilsner_spark.operators.packing import pack_by_budget
+
+    rows = [(1, "aa", 4), (2, "ab", 4), (3, "ac", 4), (4, "ba", 9), (5, "bb", 2)]
+    df = spark.createDataFrame(rows, "doc_id long, sk string, n_tok int")
+    got = {
+        r.id: (r.n_tokens, r.bin_id, r.offset_in_bin)
+        for r in pack_by_budget(df, "sk", "doc_id", "n_tok", budget=10).collect()
+    }
+    assert got == {1: (4, 0, 0), 2: (4, 0, 4), 3: (4, 0, 8), 4: (9, 1, 2), 5: (2, 2, 1)}
+
+
+def test_deterministic_split_stability_and_coverage(spark):
+    """Split labels are a pure function of the id: identical across calls,
+    unaffected by other rows, and weight-shaped (8/1/1 gives a train
+    majority). Every label appears on a 600-row table."""
+    from pilsner_spark.operators.packing import deterministic_split
+
+    df = spark.range(600).select(F.col("id").alias("doc_id"))
+    w = {"train": 8, "val": 1, "test": 1}
+    a = {r.doc_id: r.split for r in deterministic_split(df, "doc_id", w).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in deterministic_split(df.filter(F.col("doc_id") < 300), "doc_id", w).collect()
+    }
+    assert all(a[k] == v for k, v in b.items())  # subset invariance
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"} and c["train"] > c["val"] and c["train"] > c["test"]
+    assert 0.7 < c["train"] / 600 < 0.9
+
+
+def test_stratified_sample_exact_k_and_determinism(spark):
+    """Exactly k rows per stratum (or all rows for smaller strata), and the
+    same seed reproduces the same sample while a different seed differs."""
+    from pilsner_spark.operators.packing import stratified_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.pmod("id", 3)).cast("string").alias("lang")
+    )
+    s1 = stratified_sample(df, "lang", "doc_id", k_per_stratum=5, seed="x")
+    counts = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 5, "1": 5, "2": 5}
+    ids1 = {r.doc_id for r in s1.collect()}
+    ids1b = {r.doc_id for r in stratified_sample(df, "lang", "doc_id", 5, seed="x").collect()}
+    ids2 = {r.doc_id for r in stratified_sample(df, "lang", "doc_id", 5, seed="y").collect()}
+    assert ids1 == ids1b and ids1 != ids2
+
+
 def test_ann_pq_exact_when_codebook_covers_corpus(spark, vectors):
     """With n_codes >= N every vector's subvectors are themselves codewords
     (distance 0; ties resolve to an identical-valued lower code), so the
