@@ -32,6 +32,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_stats",
     "text_quality_langid",
+    "text_tfidf",
+    "pack_token_budget",
     "agg_pricing_summary",
     "join_revenue_by_nation",
     "window_top_orders",
