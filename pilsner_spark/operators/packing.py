@@ -10,8 +10,10 @@ that makes 100 TB runs resumable and auditable: re-running any stage
 reproduces the same sample / split / bin for every row.
 
 Scale shapes:
-* stratified sampling / split assignment are one window per stratum
-  (bounded partitions) or a pure hash expression (no shuffle at all);
+* split assignment is a pure hash expression (no shuffle at all);
+  stratified sampling pre-filters each stratum to ~oversample*k rows by a
+  hash-quantile cut before its ranking window, so hot strata never funnel
+  through one task;
 * packing needs a GLOBAL running total of token counts — computed with the
   same bucketed two-level trick as ``blocking.global_sort_ranks`` (bucket
   prefix sums broadcast back + in-bucket running-sum window), so no
@@ -64,17 +66,42 @@ def stratified_sample(
     id_col: str,
     k_per_stratum: int,
     seed: str = "sample",
+    oversample: float = 8.0,
 ) -> DataFrame:
     """Exactly-k-per-stratum deterministic sample: rank records inside each
     stratum by the md5 of (seed, id) — a reproducible shuffle order — and
-    keep the first k. One shuffle (the per-stratum window); partitions are
-    bounded by stratum size, and hot strata only ever rank, never expand.
-    Ties impossible: the hash input embeds the unique id, and the id itself
-    tie-breaks equal hashes."""
-    h = F.md5(F.concat_ws("#", F.lit(seed), F.col(id_col).cast("string")))
-    win = Window.partitionBy(stratum_col).orderBy(h, F.col(id_col))
+    keep the first k. Ties impossible: the hash input embeds the unique
+    id, and the id itself tie-breaks equal hashes.
+
+    A naive per-stratum ``row_number`` window drags a hot stratum (a
+    billion 'en' documents) through ONE task. Since the hash is uniform,
+    the k winners sit in the lowest ~k/size quantile of the hash space, so
+    a pre-filter at ``oversample * k / size`` of the 52-bit space discards
+    the losing bulk BEFORE the window: the ranked set is ~oversample*k
+    rows per stratum regardless of stratum size. The cut is on a numeric
+    PREFIX of the ranking key (monotone in it), so any cut keeping >= k
+    rows keeps exactly the true top-k — results are IDENTICAL to the
+    unfiltered rank (same DuckDB oracle). Strata at or below oversample*k
+    rows skip the filter. The under-cut tail is a Chernoff bound —
+    P[Binomial(n, 8k/n) < k] < 1e-12 at k=20, 8x slack — and raising
+    ``oversample`` buys arbitrary margin for a linear window-input cost."""
+    h_str = F.md5(F.concat_ws("#", F.lit(seed), F.col(id_col).cast("string")))
+    h_num = F.conv(F.substring(h_str, 1, 13), 16, 10).cast("long")
+    sizes = records.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    space = float(16**13)
+    thr = F.when(
+        F.col("_n") <= F.lit(int(oversample * k_per_stratum)), F.lit(int(space))
+    ).otherwise(
+        (F.lit(space) * F.lit(float(oversample * k_per_stratum)) / F.col("_n")).cast("long")
+    )
+    pre = (
+        records.join(F.broadcast(sizes.select(stratum_col, thr.alias("_thr"))), stratum_col)
+        .filter(h_num <= F.col("_thr"))
+        .drop("_thr")
+    )
+    win = Window.partitionBy(stratum_col).orderBy(h_str, F.col(id_col))
     return (
-        records.withColumn("_r", F.row_number().over(win))
+        pre.withColumn("_r", F.row_number().over(win))
         .filter(F.col("_r") <= k_per_stratum)
         .drop("_r")
     )

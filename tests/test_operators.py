@@ -332,6 +332,18 @@ def test_stratified_sample_exact_k_and_determinism(spark):
     ids2 = {r.doc_id for r in stratified_sample(df, "lang", "doc_id", 5, seed="y").collect()}
     assert ids1 == ids1b and ids1 != ids2
 
+    # hot-stratum path: 600 rows in ONE stratum with k=3 activates the
+    # hash-quantile pre-filter (8*3 = 24 << 600); the result must equal the
+    # brute-force md5 rank computed outside Spark
+    import hashlib
+
+    big = spark.range(600).select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    got = sorted(r.doc_id for r in stratified_sample(big, "lang", "doc_id", 3, seed="z").collect())
+    brute = sorted(
+        i for _, i in sorted((hashlib.md5(f"z#{i}".encode()).hexdigest(), i) for i in range(600))[:3]
+    )
+    assert got == brute
+
 
 def test_ann_pq_exact_when_codebook_covers_corpus(spark, vectors):
     """With n_codes >= N every vector's subvectors are themselves codewords
