@@ -94,9 +94,17 @@ def main() -> None:
         "```",
         "",
     ]
+    # preserve hand-curated sections (largest-run records, protocol notes):
+    # everything from the CURATED marker onward survives regeneration
+    curated = ""
+    if os.path.exists(args.out):
+        old = open(args.out).read()
+        idx = old.find("<!-- CURATED -->")
+        if idx >= 0:
+            curated = "\n" + old[idx:]
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
-        f.write("\n".join(lines))
+        f.write("\n".join(lines) + curated)
     print(f"wrote {args.out}")
 
 
