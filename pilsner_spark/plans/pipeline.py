@@ -36,6 +36,7 @@ from pilsner_spark.operators.scoring import (
     finalize_scored,
     jw_scores_for_undecided,
     score_pairs_base,
+    split_match_edges,
     star_match_edges,
     turn_features,
 )
@@ -153,22 +154,22 @@ def run_er_pipeline(
             blocks = blocks.unionByName(snm_blocks(turns, window_size=snm_window))
         return blocks
 
-    # The checkpoint holds the RAW (pre-salt) block table: the block
-    # CONSTRUCTION (token explode + MinHash signatures over every turn) is
-    # the expensive side, and ``salt_oversized_blocks`` references its input
-    # three times (sizes aggregation, salted join, anti join) — salting
-    # inside the write used to recompute the construction plan 3x, plus a
-    # 4th full recompute for the oversized-key report. Materializing raw
-    # once and deriving the salted view lazily makes every reference a
-    # columnar checkpoint scan instead. Salting is deterministic from the
-    # checkpoint, so resume semantics are unchanged (layout is versioned
-    # via the blocks_layout param). Salted and raw have identical row
-    # counts (salting only rewrites hot keys), so the lineage-based
-    # broadcast estimate below is unaffected.
-    raw_blocks = pipe.stage("blocks", build_raw_blocks, params={"blocks_layout": "raw-v1"})
-    blocks, oversized = salt_oversized_blocks(raw_blocks, max_block_size, salt_buckets)
-    if not pipe.metrics["blocks"].get("resumed"):
-        # one cheap aggregation over the checkpoint for the
+    # TWO block stages. ``blocks_raw`` holds the construction (token explode
+    # + MinHash signatures over every turn — the expensive side), computed
+    # exactly ONCE. ``blocks`` holds the salted table: its build references
+    # raw THREE times (sizes aggregation, salted join, anti join) and its
+    # consumers reference IT twice (both sides of the pair self-join, plus
+    # the star-edge builder) — with a single stage each reference recomputed
+    # the construction (measured: 4x inside the old salted write; and a
+    # lazily-derived salted view pushed 2x sizes-agg + 6x raw scans into the
+    # fused scored job, costing ~10% of the dominant stage at 8 cores). Two
+    # skinny checkpoints make every reference a columnar scan: one extra
+    # ~seconds write buys construction-once AND salting-once.
+    raw_blocks = pipe.stage("blocks_raw", build_raw_blocks, params={"blocks_layout": "raw-v1"})
+
+    def build_salted() -> DataFrame:
+        salted, oversized = salt_oversized_blocks(raw_blocks, max_block_size, salt_buckets)
+        # one cheap aggregation over the raw checkpoint for the
         # no-silent-truncation report, split by key family so band-key skew
         # is visible separately from token skew. Band keys are
         # 'mh<band#>#<hash>#<tool>#<role>' (blocking.minhash_blocks); a
@@ -183,6 +184,10 @@ def run_er_pipeline(
             "band_keys": int(counts["band"] or 0),
             "token_keys": int((counts["total"] or 0) - (counts["band"] or 0)),
         }
+        return salted
+
+    blocks = pipe.stage("blocks", build_salted)
+    if not pipe.metrics["blocks"].get("resumed"):
         pipe.catalog.amend_lineage("blocks", {"salted_keys": pipe.metrics["blocking_salted_keys"]})
     else:
         pipe.metrics["blocking_salted_keys"] = (pipe.metrics["blocks"] or {}).get(
@@ -285,19 +290,32 @@ def run_er_pipeline(
         broadcast_jw=0 <= n_jw * 96 <= broadcast_block_bytes,
     )
     cc_stats: Dict[str, object] = {}
-    # star-sparsified shared edges (linear in block membership) + the tiny
-    # pairwise similarity slice — identical components to the pairwise
-    # match_edges view (parity-pinned), without materializing the quadratic
-    # shared-entity clique mass into the CC loop
+    # Edge source for clustering, chosen from lineage counts (both produce
+    # IDENTICAL components — parity-pinned by test_star_edges_cluster_parity):
+    # * pairwise — read the shared/undecided rows straight off the compact
+    #   scored checkpoint; cost ~ shared_rows. Right when entity cliques are
+    #   sparse (the 203M-pair synthetic corpus: 123k shared rows).
+    # * star — per-(block, entity) member->min edges re-derived from the
+    #   block table; cost ~ block rows, INDEPENDENT of how quadratic the
+    #   shared-pair mass is. Right when cliques are dense (the sample
+    #   corpus: 3.66M shared pairs from 0.43M block rows; at web scale a
+    #   hot entity makes shared_rows explode while block rows stay linear).
+    n_shared = int((pipe.metrics.get("scored_pairs") or {}).get("shared_rows") or 0)
+    use_star = compact_scored and n_shared > n_blocks
+
+    def build_edges() -> DataFrame:
+        if use_star:
+            return star_match_edges(
+                blocks, mention_entities, jw_slice, jw_threshold, jaccard_threshold
+            )
+        return split_match_edges(scored_base, jw_slice, jw_threshold, jaccard_threshold)
+
     clusters = pipe.stage(
         "entity_clusters",
-        lambda: cluster_turns(
-            turns,
-            star_match_edges(blocks, mention_entities, jw_slice, jw_threshold, jaccard_threshold),
-            stats=cc_stats,
-        ),
-        params={"cluster_edges": "star-v1"},
+        lambda: cluster_turns(turns, build_edges(), stats=cc_stats),
+        params={"cluster_edges": "star-v1" if use_star else "pairwise-v1"},
     )
+    pipe.metrics["cluster_edge_source"] = {"star": use_star, "shared_rows": n_shared, "block_rows": n_blocks}
     if cc_stats:  # empty when the stage was resumed from checkpoint
         pipe.metrics["clustering_convergence"] = dict(cc_stats)
     # pairs_all: the complete candidate-pair key set, for consumers that
