@@ -16,9 +16,10 @@ Scale design:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import warnings
+from typing import Optional, Sequence, Tuple, Union
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 def turn_key_col():
@@ -98,10 +99,73 @@ def minhash_blocks(
     return with_sig.select("turn_key", F.explode(F.array(*bands)).alias("block_key"))
 
 
+def adaptive_prefix_len(
+    records: DataFrame,
+    fixed_cols: Sequence[str],
+    text_col: str,
+    min_len: int = 1,
+    max_len: int = 8,
+    max_bucket_frac: float = 0.2,
+    context: str = "bucketed two-level ranking",
+) -> int:
+    """Choose the shortest text-prefix length whose largest bucket
+    (``fixed_cols`` + first-L-chars of ``text_col``) holds at most
+    ``max_bucket_frac`` of all rows — the skew guard for the two-level
+    global rank / prefix-sum constructions (a dominant bucket funnels its
+    whole rank window through ONE task; see ``global_sort_ranks``).
+
+    Cost: ONE full-table groupBy at ``max_len`` granularity, then ONE job
+    over that (tiny) counts table evaluating every candidate length at once
+    (explode lengths -> re-aggregate -> per-length max/total) — the scan
+    budget is independent of how many lengths are tried. The chosen length
+    changes only the physical bucket fan-out, never the result —
+    rank/prefix-sum output is identical at any granularity.
+
+    Warns (and returns ``max_len``) when even the longest prefix cannot
+    break the dominant bucket below the threshold — e.g. a corpus of
+    literally identical keys, where the funnel is data-inherent and the
+    caller should reconsider the sort key.
+    """
+    fixed = [f"_f{i}" for i in range(len(fixed_cols))]
+    counts = records.groupBy(
+        *[F.col(c).alias(a) for c, a in zip(fixed_cols, fixed)],
+        F.substring(F.col(text_col), 1, max_len).alias("_p"),
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    stats = (
+        counts.select(
+            F.explode(F.sequence(F.lit(min_len), F.lit(max_len))).alias("_l"),
+            *fixed,
+            "_p",
+            "_c",
+        )
+        .groupBy("_l", *fixed, F.expr("substring(_p, 1, _l)").alias("_pp"))
+        .agg(F.sum("_c").alias("c"))
+        .groupBy("_l")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        .collect()
+    )
+    by_len = {r["_l"]: r for r in stats}
+    if not by_len:
+        return min_len
+    total = next(iter(by_len.values()))["tot"]
+    for length in range(min_len, max_len + 1):
+        if by_len[length]["mx"] <= max_bucket_frac * total:
+            return length
+    warnings.warn(
+        f"{context}: even a {max_len}-char prefix leaves one bucket with "
+        f"{by_len[max_len]['mx']}/{total} rows (> {max_bucket_frac:.0%}) — the key "
+        "space is degenerate (many identical keys); the dominant bucket's window "
+        "will run in one task",
+        stacklevel=2,
+    )
+    return max_len
+
+
 def snm_blocks(
     turns: DataFrame,
     window_size: int = 4,
     norm_col: str = "norm_text",
+    bucket_text_len: Union[int, str] = "auto",
 ) -> DataFrame:
     """Sorted-neighborhood as a BLOCK family, pipeline-composable next to
     token and MinHash-band blocks: records sorted by
@@ -114,16 +178,37 @@ def snm_blocks(
     construction (ranks w..w+window_size-1), so this family NEVER needs
     salting and its pair mass is exactly linear in records.
 
-    The (tool, role) scoping rides in the sort key prefix, so windows stay
-    inside one keyspace except at boundaries — boundary pairs are merely
-    extra candidates for the scorer, which decides on entity evidence.
+    Window keys are SCOPED per (tool, role) keyspace (the key embeds the
+    keyspace prefix): records adjacent in the global sort but on opposite
+    sides of a keyspace boundary never share a window key, so this family
+    cannot leak cross-keyspace candidate pairs into scoring — where an
+    unconditional shared-entity edge would merge clusters across keyspaces
+    and weaken the north rule's structural scoping (ADVICE r3). Within a
+    keyspace the pair set is unchanged (ranks stay contiguous there because
+    the keyspace is the sort-key prefix).
+
+    ``bucket_text_len``: how many leading ``norm_col`` characters extend
+    the (tool, role) rank bucket. The default ``"auto"`` probes bucket
+    dominance with ``adaptive_prefix_len`` (one extra scan at build time)
+    and widens the prefix until no bucket exceeds ~20% of rows — the guard
+    for template corpora where most texts share their first character and
+    a static 1-char bucket would funnel the rank window through one task.
+    Pass an int to pin it (0 scans).
+
     Adjacent pairs co-occur in up to window_size-1 windows; the pipeline
     scores duplicates rather than paying a pair-table distinct (same
     measured trade as ``candidate_pairs(dedupe=False)``) and dedupes the
     small match-edge set downstream."""
+    if bucket_text_len == "auto":
+        bucket_text_len = adaptive_prefix_len(
+            turns, ("tool", "role"), norm_col, context="snm_blocks rank buckets"
+        )
     sk = F.concat_ws("\x01", F.col("tool"), F.col("role"), F.col(norm_col))
     bucket = F.concat_ws(
-        "\x01", F.col("tool"), F.col("role"), F.substring(F.col(norm_col), 1, 1)
+        "\x01",
+        F.col("tool"),
+        F.col("role"),
+        F.substring(F.col(norm_col), 1, int(bucket_text_len)),
     )
     ranked = global_sort_ranks(
         turns.select("turn_key", sk.alias("_sk"), bucket.alias("_bk")),
@@ -131,8 +216,12 @@ def snm_blocks(
         "turn_key",
         bucket_col=F.col("_bk"),
     )
+    # keyspace = the tool\x01role prefix of the sort key (tool/role cannot
+    # contain \x01 — the same assumption the sort key itself rests on)
+    keyspace = F.substring_index(F.col("sk"), "\x01", 2)
     return ranked.select(
         F.col("id").alias("turn_key"),
+        keyspace.alias("_ks"),
         F.explode(
             F.sequence(
                 F.greatest(F.lit(1), F.col("rank") - window_size + 1), F.col("rank")
@@ -140,7 +229,9 @@ def snm_blocks(
         ).alias("w"),
     ).select(
         "turn_key",
-        F.concat_ws("#", F.lit("snm"), F.col("w").cast("string")).alias("block_key"),
+        F.concat_ws(
+            "#", F.lit("snm"), F.col("_ks"), F.col("w").cast("string")
+        ).alias("block_key"),
     )
 
 
@@ -206,8 +297,10 @@ def comparison_weights(
     literature's "block purging": an oversized block contributes O(size^2)
     pairs of near-zero evidential value (its tokens are stopword-like), so
     purging it bounds the pair mass exactly like the dedup caps do. Purged
-    keys are visible via ``salt_oversized_blocks``'s report pattern when
-    callers need the no-silent-truncation audit.
+    keys are first-class visible via :func:`purged_blocks_report` (same
+    thresholds -> exactly the keys this function drops) — the
+    no-silent-truncation audit, mirroring ``salt_oversized_blocks``'s and
+    ``oversized_band_report``'s report pattern.
 
     Returns (id_a, id_b, cbs) with id_a < id_b.
     """
@@ -224,6 +317,33 @@ def comparison_weights(
         buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("cbs"))
+    )
+
+
+def purged_blocks_report(
+    blocks: DataFrame,
+    id_col: str = "turn_key",
+    key_col: str = "block_key",
+    min_block_size: int = 2,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """The block keys :func:`comparison_weights` purges at the same
+    thresholds, with their sizes and the reason — (block_key, block_size,
+    reason in {'undersized', 'oversized'}). Call it alongside
+    ``comparison_weights`` (same inputs/thresholds) so block purging is
+    never silent; the distinct-id count per key matches the membership the
+    weights stage would have expanded. O(distinct keys) output, one
+    aggregation."""
+    sizes = blocks.groupBy(F.col(key_col).alias("block_key")).agg(
+        F.count_distinct(F.col(id_col)).alias("block_size")
+    )
+    return sizes.filter(
+        (F.col("block_size") < min_block_size) | (F.col("block_size") > max_block_size)
+    ).withColumn(
+        "reason",
+        F.when(F.col("block_size") < min_block_size, F.lit("undersized")).otherwise(
+            F.lit("oversized")
+        ),
     )
 
 
@@ -286,8 +406,8 @@ def global_sort_ranks(
     records: DataFrame,
     sort_col: str,
     id_col: str,
-    bucket_prefix_len: int = 1,
-    bucket_col=None,
+    bucket_prefix_len: Union[int, str] = 1,
+    bucket_col: Optional[Column] = None,
 ) -> DataFrame:
     """Dense global rank (1..N) of every record under the total order
     (sort_col, id_col) — WITHOUT a single-partition window.
@@ -303,13 +423,19 @@ def global_sort_ranks(
     ``repartitionByRange`` this is fully deterministic — no sampled bounds,
     so two actions over the result see identical ranks without a checkpoint.
     Skewed prefixes (many records sharing one first character) are handled
-    by raising ``bucket_prefix_len``, or by passing an explicit
-    ``bucket_col`` Column — any expression that is a *prefix* of the sort
-    key (prefix order = sort order is the invariant the two-level rank
-    rests on; with a separator char below the printable range, a
-    structured concat prefix like tool\\x01role\\x01<first text char>
-    qualifies).
+    by raising ``bucket_prefix_len`` — or passing ``"auto"``, which probes
+    bucket dominance with :func:`adaptive_prefix_len` (one extra build-time
+    scan) and widens the prefix until no bucket holds more than ~20% of
+    rows — or by passing an explicit ``bucket_col`` Column: any expression
+    that is a *prefix* of the sort key (prefix order = sort order is the
+    invariant the two-level rank rests on; with a separator char below the
+    printable range, a structured concat prefix like
+    tool\\x01role\\x01<first text chars> qualifies).
     """
+    if bucket_prefix_len == "auto" and bucket_col is None:
+        bucket_prefix_len = adaptive_prefix_len(
+            records, (), sort_col, context="global_sort_ranks buckets"
+        )
     base = records.select(
         F.col(id_col).alias("id"),
         F.col(sort_col).alias("sk"),
@@ -333,7 +459,7 @@ def sorted_neighborhood_pairs(
     sort_col: str,
     id_col: str,
     window_size: int = 5,
-    bucket_prefix_len: int = 1,
+    bucket_prefix_len: Union[int, str] = 1,
 ) -> DataFrame:
     """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95 — public
     literature): sort all records by a blocking key, slide a fixed window of

@@ -138,6 +138,14 @@ def decode_audio_array(payload: bytes) -> Tuple[np.ndarray, int]:
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
         sz = struct.unpack_from("<I", payload, i + 4)[0]
+        if i + 8 + sz > len(payload):
+            # a declared chunk size running past the buffer is truncation /
+            # corruption — raise so strict (fake=False) mode surfaces it
+            # instead of silently decoding fewer frames (ADVICE r3)
+            raise ValueError(
+                f"truncated RIFF chunk {cid!r}: declares {sz} bytes at offset {i}, "
+                f"payload has {len(payload) - i - 8} remaining"
+            )
         body = payload[i + 8 : i + 8 + sz]
         if cid == b"fmt ":
             fmt = body

@@ -22,6 +22,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+from typing import Union
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -112,7 +114,7 @@ def global_running_totals(
     sort_col: str,
     id_col: str,
     value_col: str,
-    bucket_prefix_len: int = 1,
+    bucket_prefix_len: Union[int, str] = "auto",
 ) -> DataFrame:
     """Exclusive global running sum of ``value_col`` under the total order
     (sort_col, id_col) — the distributed prefix-sum, WITHOUT a
@@ -121,14 +123,28 @@ def global_running_totals(
     data, per-bucket value sums prefix-scan on the tiny bucket table and
     broadcast back, an in-bucket window finishes the job).
 
+    ``bucket_prefix_len`` defaults to ``"auto"`` (one extra build-time scan
+    via ``blocking.adaptive_prefix_len``): a FIXED 1-char prefix silently
+    funnels the most natural sort keys through one bucket — e.g. a
+    zero-padded numeric key like lpad(doc_id, 8, '0') puts every row in
+    bucket '0' until 10^7 docs (ADVICE r3) — while auto widens the prefix
+    past the constant run until no bucket dominates. Pass an int to pin it
+    (0 extra scans); the choice never changes results, only the fan-out.
+
     Returns (id, sk, v, cum_excl): cum_excl = sum of v over all strictly
     earlier records in sort order.
     """
+    if bucket_prefix_len == "auto":
+        from pilsner_spark.operators.blocking import adaptive_prefix_len
+
+        bucket_prefix_len = adaptive_prefix_len(
+            records, (), sort_col, context="global_running_totals buckets"
+        )
     base = records.select(
         F.col(id_col).alias("id"),
         F.col(sort_col).alias("sk"),
         F.col(value_col).cast("long").alias("v"),
-        F.substring(F.col(sort_col), 1, bucket_prefix_len).alias("bk"),
+        F.substring(F.col(sort_col), 1, int(bucket_prefix_len)).alias("bk"),
     )
     sums = base.groupBy("bk").agg(F.sum("v").alias("bsum"))
     run = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
@@ -151,7 +167,7 @@ def pack_by_budget(
     id_col: str,
     tokens_col: str,
     budget: int,
-    bucket_prefix_len: int = 1,
+    bucket_prefix_len: Union[int, str] = "auto",
 ) -> DataFrame:
     """Sequence packing: assign each document a bin so every bin holds
     ~``budget`` tokens of consecutive (by sort order) documents —

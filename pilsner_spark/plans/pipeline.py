@@ -326,10 +326,11 @@ def run_er_pipeline(
         "clusters": clusters,
         "scored": scored,
         "pairs_all": pairs.select("key_a", "key_b"),
-        # the salted block view (lazy over the raw checkpoint) — what
-        # candidate pairs were actually built from; audits (blocking_recall
-        # family split) must use THIS, not the raw checkpoint, so reported
-        # recall reflects salting loss honestly
+        # the salted blocks checkpoint (stage 'blocks' — its own materialized
+        # stage after the two-stage split, distinct from the raw construction
+        # checkpoint 'blocks_raw') — what candidate pairs were actually built
+        # from; audits (blocking_recall family split) must use THIS, not the
+        # raw checkpoint, so reported recall reflects salting loss honestly
         "blocks_salted": blocks,
         "metrics": pipe.metrics,
         "pipeline": pipe,

@@ -246,6 +246,95 @@ def test_meta_blocking_weights_and_pruning(spark):
     }
 
 
+def test_purged_blocks_report_matches_weights_thresholds(spark):
+    """purged_blocks_report surfaces exactly the keys comparison_weights
+    drops at the same thresholds — singleton blocks as 'undersized', the
+    everyone-block as 'oversized' — so block purging is never silent."""
+    from pilsner_spark.operators.blocking import purged_blocks_report
+
+    rows = [
+        ("A", ["t1", "t2", "t3", "t6"]),
+        ("B", ["t1", "t2", "t6"]),
+        ("C", ["t1", "t4", "t6"]),
+        ("D", ["t4", "t5", "t6"]),
+    ]
+    blocks = spark.createDataFrame(rows, "doc_id string, toks array<string>").select(
+        "doc_id", F.explode("toks").alias("block_key")
+    )
+    got = {
+        r.block_key: (r.block_size, r.reason)
+        for r in purged_blocks_report(
+            blocks, id_col="doc_id", key_col="block_key", min_block_size=2, max_block_size=3
+        ).collect()
+    }
+    assert got == {
+        "t3": (1, "undersized"),
+        "t5": (1, "undersized"),
+        "t6": (4, "oversized"),
+    }
+
+
+def test_snm_adaptive_buckets_on_shared_prefix_corpus(spark):
+    """A template corpus where 90% of texts share their first character:
+    the adaptive bucket prefix must find >1 effective rank bucket (the
+    static 1-char bucket would funnel the window through one task), and
+    the pair set must equal the pinned-1-char construction (bucket
+    granularity never changes results)."""
+    from pilsner_spark.operators.blocking import adaptive_prefix_len, snm_blocks
+
+    rows = [(f"c{i}#0", "search", "user", f"t{i:02d} template reply body") for i in range(27)] + [
+        (f"d{i}#0", "search", "user", f"other {i}") for i in range(3)
+    ]
+    turns = spark.createDataFrame(
+        rows, "turn_key string, tool string, role string, norm_text string"
+    )
+    chosen = adaptive_prefix_len(turns, ("tool", "role"), "norm_text")
+    assert chosen > 1  # 1 char leaves 90% of rows in the 't' bucket
+    n_buckets = (
+        turns.groupBy("tool", "role", F.substring("norm_text", 1, chosen)).count().count()
+    )
+    assert n_buckets > 1
+    largest = (
+        turns.groupBy("tool", "role", F.substring("norm_text", 1, chosen))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert largest <= 0.2 * len(rows)
+
+    def pair_set(blocks):
+        return {
+            frozenset((r.ka, r.kb))
+            for r in blocks.alias("a")
+            .join(blocks.alias("b"), "block_key")
+            .filter(F.col("a.turn_key") < F.col("b.turn_key"))
+            .select(F.col("a.turn_key").alias("ka"), F.col("b.turn_key").alias("kb"))
+            .collect()
+        }
+
+    auto_pairs = pair_set(snm_blocks(turns, window_size=4))
+    pinned_pairs = pair_set(snm_blocks(turns, window_size=4, bucket_text_len=1))
+    assert auto_pairs == pinned_pairs and auto_pairs
+
+
+def test_adaptive_prefix_warns_on_degenerate_keys(spark):
+    """Identical keys everywhere: no prefix length can break the bucket —
+    the helper must warn (never a silent one-task funnel) and still return
+    a usable length."""
+    import warnings as _warnings
+
+    from pilsner_spark.operators.blocking import adaptive_prefix_len
+
+    df = spark.createDataFrame(
+        [(i, "same exact key") for i in range(20)], "doc_id long, sk string"
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        got = adaptive_prefix_len(df, (), "sk", max_len=4)
+    assert got == 4
+    assert any("degenerate" in str(w.message) for w in caught)
+
+
 def test_sorted_neighborhood_window_pairs(spark):
     """Hand-checkable SNM: 6 records whose sort keys span three first-char
     buckets (so the two-level global rank is exercised across buckets),
@@ -293,6 +382,37 @@ def test_pack_by_budget_hand_computed(spark):
         for r in pack_by_budget(df, "sk", "doc_id", "n_tok", budget=10).collect()
     }
     assert got == {1: (4, 0, 0), 2: (4, 0, 4), 3: (4, 0, 8), 4: (9, 1, 2), 5: (2, 2, 1)}
+
+
+def test_pack_auto_prefix_breaks_zero_padded_funnel(spark):
+    """Zero-padded numeric sort keys (lpad(doc_id, 8, '0')) put every row
+    in bucket '0' under a 1-char prefix (ADVICE r3): the auto prefix must
+    widen past the constant zero run to real fan-out, and the packing
+    output must be identical to any pinned granularity."""
+    from pilsner_spark.operators.blocking import adaptive_prefix_len
+    from pilsner_spark.operators.packing import pack_by_budget
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lpad(F.col("id").cast("string"), 8, "0").alias("sk"),
+        F.lit(3).alias("n_tok"),
+    )
+    chosen = adaptive_prefix_len(df, (), "sk")
+    assert chosen >= 7  # ids 0..199: prefixes shorter than 7 chars leave >40% in one bucket
+    n_buckets = df.groupBy(F.substring("sk", 1, chosen)).count().count()
+    assert n_buckets > 1
+
+    auto = {
+        (r.id, r.bin_id, r.offset_in_bin)
+        for r in pack_by_budget(df, "sk", "doc_id", "n_tok", budget=10).collect()
+    }
+    pinned = {
+        (r.id, r.bin_id, r.offset_in_bin)
+        for r in pack_by_budget(
+            df, "sk", "doc_id", "n_tok", budget=10, bucket_prefix_len=8
+        ).collect()
+    }
+    assert auto == pinned and len(auto) == 200
 
 
 def test_deterministic_split_stability_and_coverage(spark):

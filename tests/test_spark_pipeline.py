@@ -199,8 +199,11 @@ def test_bcubed_hand_computed(spark):
 
 def test_snm_blocks_pair_equivalence(spark):
     """snm_blocks' window keys induce EXACTLY the sorted-neighborhood pair
-    set over the (tool, role, norm_text) sort order, and every window key
-    is bounded at window_size members (the no-salting-needed invariant)."""
+    set over the (tool, role, norm_text) sort order RESTRICTED to pairs
+    inside one (tool, role) keyspace (window keys are keyspace-scoped, so
+    boundary pairs cannot leak into scoring — ADVICE r3), and every window
+    key is bounded at window_size members (the no-salting-needed
+    invariant)."""
     from pilsner_spark.operators.blocking import snm_blocks, sorted_neighborhood_pairs
 
     rows = [
@@ -231,13 +234,20 @@ def test_snm_blocks_pair_equivalence(spark):
         .collect()
     }
     sk = F.concat_ws("\x01", F.col("tool"), F.col("role"), F.col("norm_text"))
+    keyspace = {r.turn_key: (r.tool, r.role) for r in turns.collect()}
     expected = {
         frozenset((r.id_a, r.id_b))
         for r in sorted_neighborhood_pairs(
             turns.select("turn_key", sk.alias("sk")), "sk", "turn_key", window_size=3
         ).collect()
+        # keyspace-scoped: the in-keyspace subset of the full-order pair set
+        # (ranks are contiguous inside a keyspace, so this IS the per-
+        # keyspace window pair set)
+        if keyspace[r.id_a] == keyspace[r.id_b]
     }
-    assert got == expected and len(got) >= 11
+    assert got == expected and len(got) >= 8
+    # cross-keyspace boundary pairs must NOT appear
+    assert all(keyspace[a] == keyspace[b] for a, b in (tuple(p) for p in got))
 
 
 def test_er_pipeline_snm_window_f1(spark, transcripts, tmp_path):

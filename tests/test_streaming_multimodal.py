@@ -185,6 +185,21 @@ def test_real_decode_pcm_wav():
     assert len(fallback) == 16
 
 
+def test_truncated_wav_raises_in_strict_mode():
+    """A data chunk whose declared size runs past the payload is corruption:
+    strict mode must raise (ADVICE r3 — not silently decode fewer frames),
+    fake mode falls back to the deterministic stand-in."""
+    from pilsner_spark.operators.multimodal import decode_audio, decode_audio_array
+
+    whole = _wav([[0, 16384, -16384, 32767]], extra_chunk=False)
+    truncated = whole[:-4]  # declared data size now exceeds the buffer
+    with pytest.raises(ValueError, match="truncated RIFF chunk"):
+        decode_audio_array(truncated)
+    with pytest.raises(ValueError):
+        decode_audio(truncated, fake=False)
+    assert len(decode_audio(truncated, fake=True)) == 16
+
+
 def test_audio_routing_in_features_df(spark):
     """An audio payload routes to the WAV decoder inside the Arrow extract
     path while image rows in the same batch use the image decoder."""
