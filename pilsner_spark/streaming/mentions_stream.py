@@ -71,42 +71,58 @@ def incremental_cluster_assignments(
     model: CompiledModel,
     workdir: str,
     checkpoint_dir: Optional[str] = None,
+    n_buckets: int = 64,
 ):
     """foreachBatch bridge between streaming ingestion and batch clustering
-    — DELTA connected components, not recompute-the-world.
+    — DELTA connected components AND delta storage, not
+    recompute/rewrite-the-world.
 
     Per micro-batch: extract mentions -> bipartite edges (turn_key,
     'E#'+entity) -> map every endpoint already assigned a cluster to its
     CLUSTER ID (connectivity through history is fully summarized by
     membership, so the old edges never need re-reading) -> run hash-to-min
     CC on that mini-graph only (O(batch) vertices: fresh keys + touched
-    cluster representatives) -> apply the resulting (old cluster id -> new
-    label) remap to the assignment table with one broadcast join, append
-    fresh-node assignments. Because a cluster id IS the lexicographic-min
+    cluster representatives). Because a cluster id IS the lexicographic-min
     member key, the mini-CC label (min over old cids + fresh keys) equals
     the global min of the merged component — identical output to a full
-    recompute over all observations, at per-batch CC cost proportional to
-    the batch, not the history (the remap rewrite is one linear scan of
-    the assignment table with a broadcast hash join; no iterative jobs
-    touch history).
+    recompute over all observations.
+
+    Storage is bucketed by ``pmod(xxhash64(cluster_id), n_buckets)`` as a
+    parquet partition column, so applying the (old cluster id -> new label)
+    remap rewrites ONLY the partitions holding remapped cluster ids —
+    delete those bucket directories and append their remapped content —
+    while fresh-node assignments are pure appends (no partition rewrite at
+    all). Per-batch WRITE I/O is therefore O(remap-affected clusters +
+    batch), never O(history); a batch whose clusters all keep their labels
+    (the steady state: new members join but the lexicographic-min member
+    stays) writes only the batch itself. Per-batch READ I/O is one
+    column-pruned scan of the assignment table (the endpoint->rep lookup:
+    a broadcast semi-join of the tiny endpoint set against the scan — no
+    shuffle of history) plus a partition-PRUNED read of the rewritten
+    buckets. ``prev_rows`` comes from a sidecar row-count meta file
+    maintained by the driver — no count job over history.
 
     Storage layout (plain parquet under ``workdir``; batch consumers read
     the same tables):
 
     * ``stream_cluster_nodes``   — full assignment incl. entity nodes (the
-      delta-CC state)
-    * ``stream_entity_clusters`` — turn-only view (back-compat output)
+      delta-CC state), partitioned by the cluster-id hash bucket
+    * ``stream_entity_clusters`` — turn-only view (back-compat output),
+      same bucketing
     * ``stream_turn_entities``   — append-only observation log (audit /
       replay; never read in the hot path)
+    * ``stream_cluster_meta.json`` — {"rows": total assignment rows}
     * ``stream_cluster_metrics.jsonl`` — one line per batch
-      {batch_id, batch_edges, mini_vertices, prev_rows, wall_seconds}: the
-      incrementality evidence (mini_vertices tracks the batch, not the
-      accumulated history)
+      {batch_id, batch_edges, mini_vertices, prev_rows, buckets_rewritten,
+      rows_written, bytes_written, wall_seconds}: the incrementality
+      evidence (mini_vertices, rows_written and bytes_written track the
+      batch/remap, not the accumulated history)
 
     Returns the StreamingQuery (caller awaits/stops it).
     """
     import json
     import os
+    import shutil
     import time
 
     from pilsner_spark.operators.blocking import with_turn_key
@@ -116,7 +132,24 @@ def incremental_cluster_assignments(
     obs_path = os.path.join(workdir, "stream_turn_entities")
     nodes_path = os.path.join(workdir, "stream_cluster_nodes")
     clusters_path = os.path.join(workdir, "stream_entity_clusters")
+    meta_path = os.path.join(workdir, "stream_cluster_meta.json")
     metrics_path = os.path.join(workdir, "stream_cluster_metrics.jsonl")
+
+    def bucket_of(cid_col):
+        return F.pmod(F.xxhash64(cid_col), F.lit(n_buckets)).cast("int")
+
+    def tree_bytes_since(root: str, since: float) -> int:
+        total = 0
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
+                if st.st_mtime >= since:
+                    total += st.st_size
+        return total
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         start = time.time()
@@ -128,53 +161,120 @@ def incremental_cluster_assignments(
             .select("key_a", F.concat(F.lit("E#"), F.col("entity")).alias("key_b"))
             .localCheckpoint()
         )
-        if os.path.exists(nodes_path):
+        have_prev = os.path.exists(nodes_path)
+        if have_prev:
             prev = spark.read.parquet(nodes_path)
         else:
-            prev = spark.createDataFrame([], "node_key string, cluster_id string")
-        prev_rows = prev.count()
+            prev = spark.createDataFrame([], "node_key string, cluster_id string, bucket int")
+        # prev_rows from the sidecar meta, NOT a count job over history; a
+        # missing meta next to an existing table (layout migration) falls
+        # back to one count, once, and repairs the meta
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                prev_rows = int(json.load(f)["rows"])
+        else:
+            prev_rows = prev.count() if have_prev else 0
 
-        # endpoint -> its current cluster representative (itself when fresh);
-        # the two prev lookups are single-pass joins — no iterative job ever
-        # touches the accumulated history
+        # endpoint -> its current cluster representative: ONE column-pruned
+        # scan of prev with the tiny endpoint set broadcast (semi-join) —
+        # history is never shuffled, and the result is O(batch)
+        endpoints = (
+            new_edges.select(F.col("key_a").alias("node_key"))
+            .unionByName(new_edges.select(F.col("key_b").alias("node_key")))
+            .distinct()
+        )
+        reps = (
+            prev.join(F.broadcast(endpoints), "node_key", "left_semi")
+            .select("node_key", "cluster_id")
+            .localCheckpoint()
+        )
+        rep_a = F.broadcast(
+            reps.select(F.col("node_key").alias("key_a"), F.col("cluster_id").alias("rep_a"))
+        )
+        rep_b = F.broadcast(
+            reps.select(F.col("node_key").alias("key_b"), F.col("cluster_id").alias("rep_b"))
+        )
         mini_edges = (
-            new_edges.join(prev.withColumnRenamed("node_key", "key_a").withColumnRenamed("cluster_id", "rep_a"), "key_a", "left")
-            .join(prev.withColumnRenamed("node_key", "key_b").withColumnRenamed("cluster_id", "rep_b"), "key_b", "left")
+            new_edges.join(rep_a, "key_a", "left")
+            .join(rep_b, "key_b", "left")
             .select(
                 F.coalesce("rep_a", F.col("key_a")).alias("key_a"),
                 F.coalesce("rep_b", F.col("key_b")).alias("key_b"),
             )
             .localCheckpoint()
         )
-        minicc = connected_components(mini_edges).localCheckpoint()  # (turn_key=node-or-cid, cluster_id=new label)
-        mini_vertices = minicc.count()
-        remap = F.broadcast(
-            minicc.select(F.col("turn_key").alias("old_cid"), F.col("cluster_id").alias("new_cid"))
+        minicc = connected_components(mini_edges)  # (turn_key=node-or-cid, cluster_id=new label)
+        mini_rows = minicc.collect()  # O(batch) by construction
+        # a mini-graph vertex is either an existing cluster id (a rep — and
+        # an old cid is always also a member node) or a never-seen fresh key
+        rep_cids = {r.cluster_id for r in reps.collect()}
+        remap_changed = {
+            r.turn_key: r.cluster_id
+            for r in mini_rows
+            if r.turn_key in rep_cids and r.cluster_id != r.turn_key
+        }
+        fresh_rows = [
+            (r.turn_key, r.cluster_id) for r in mini_rows if r.turn_key not in rep_cids
+        ]
+
+        # partitions holding remapped cluster ids: these (and only these)
+        # contain rows whose label changes, so they are deleted + their
+        # content re-appended under the new labels; fresh rows append into
+        # their label's partition without touching it
+        rewrite_buckets: set = set()
+        if remap_changed:
+            rewrite_buckets = {
+                r.b
+                for r in spark.createDataFrame(
+                    [(k,) for k in remap_changed], "cid string"
+                )
+                .select(bucket_of(F.col("cid")).alias("b"))
+                .collect()
+            }
+        write_start = time.time()
+        fresh_df = spark.createDataFrame(
+            fresh_rows or [], "node_key string, cluster_id string"
         )
-        updated_prev = (
-            prev.join(remap, prev.cluster_id == F.col("old_cid"), "left")
-            .select("node_key", F.coalesce("new_cid", "cluster_id").alias("cluster_id"))
+        to_write = fresh_df
+        if rewrite_buckets:
+            remap_df = F.broadcast(
+                spark.createDataFrame(
+                    list(remap_changed.items()), "old_cid string, new_cid string"
+                )
+            )
+            rewritten = (
+                prev.filter(F.col("bucket").isin(*rewrite_buckets))  # partition-pruned read
+                .join(remap_df, prev.cluster_id == F.col("old_cid"), "left")
+                .select("node_key", F.coalesce("new_cid", "cluster_id").alias("cluster_id"))
+            )
+            to_write = to_write.unionByName(rewritten)
+        to_write = to_write.withColumn("bucket", bucket_of(F.col("cluster_id")))
+        to_write = to_write.localCheckpoint()  # materialize BEFORE deleting the read path
+        rows_written = to_write.count()
+        for b in rewrite_buckets:
+            shutil.rmtree(os.path.join(nodes_path, f"bucket={b}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(clusters_path, f"bucket={b}"), ignore_errors=True)
+        if rows_written:
+            to_write.write.mode("append").partitionBy("bucket").parquet(nodes_path)
+            to_write.filter(~F.col("node_key").startswith("E#")).withColumnRenamed(
+                "node_key", "turn_key"
+            ).write.mode("append").partitionBy("bucket").parquet(clusters_path)
+        bytes_written = tree_bytes_since(nodes_path, write_start) + (
+            tree_bytes_since(clusters_path, write_start) if os.path.exists(clusters_path) else 0
         )
-        # fresh nodes = mini-graph vertices not yet in the assignment table
-        # (an old cid is always also a member node, so the anti-join keeps
-        # exactly the never-seen keys)
-        fresh = (
-            minicc.withColumnRenamed("turn_key", "node_key")
-            .join(prev.select("node_key"), "node_key", "left_anti")
-        )
-        nodes = updated_prev.unionByName(fresh).localCheckpoint()  # materialize BEFORE overwriting the read path
-        nodes.write.mode("overwrite").parquet(nodes_path)
-        nodes.filter(~F.col("node_key").startswith("E#")).withColumnRenamed(
-            "node_key", "turn_key"
-        ).write.mode("overwrite").parquet(clusters_path)
+        with open(meta_path, "w") as f:
+            json.dump({"rows": prev_rows + len(fresh_rows)}, f)
         with open(metrics_path, "a") as f:
             f.write(
                 json.dumps(
                     {
                         "batch_id": int(batch_id),
                         "batch_edges": new_edges.count(),
-                        "mini_vertices": int(mini_vertices),
+                        "mini_vertices": len(mini_rows),
                         "prev_rows": int(prev_rows),
+                        "buckets_rewritten": len(rewrite_buckets),
+                        "rows_written": int(rows_written),
+                        "bytes_written": int(bytes_written),
                         "wall_seconds": round(time.time() - start, 3),
                     }
                 )
