@@ -30,6 +30,7 @@ HEADLINE = [
     "blocking_sorted_neighborhood",
     "ann_brute_topk",
     "ann_ivf_topk",
+    "ann_ivf_pq_topk",
     "text_stats",
     "text_quality_langid",
     "text_tfidf",
@@ -40,6 +41,27 @@ HEADLINE = [
     "events_sessionization",
     "events_tumbling_window",
 ]
+
+
+def read_proc_stat():
+    """Aggregate cpu jiffies from /proc/stat: (user, nice, system, idle,
+    iowait, irq, softirq, steal) — the host-noise telemetry base."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return [int(x) for x in parts[1:9]]
+
+
+def telemetry_delta(before, after):
+    """steal/sys/iowait as % of total jiffies over a window — makes
+    degraded-host windows machine-detectable instead of argued post-hoc
+    (VERDICT r3 item 1/2)."""
+    d = [b - a for a, b in zip(before, after)]
+    total = sum(d) or 1
+    return {
+        "steal_pct": round(100.0 * d[7] / total, 2),
+        "sys_pct": round(100.0 * d[2] / total, 2),
+        "iowait_pct": round(100.0 * d[4] / total, 2),
+    }
 
 
 def main() -> None:
@@ -65,17 +87,29 @@ def main() -> None:
     warm = spark.range(cpus * 4).repartition(cpus)
     warm.select(jaro_winkler_udf(F.lit("w"), F.lit("w"))).write.format("noop").mode("overwrite").save()
 
+    host_before = read_proc_stat()
     qs = entrymod.queries()
+    # TWO timed runs per query, min reported (VERDICT r3 item 2): this
+    # host's shared-host contention produced 2.6-4x single-shot swings on
+    # Python-worker-heavy queries between rounds — min-of-2 makes the
+    # per-query walls cross-round comparable. Both walls stay visible in
+    # query_walls for noise auditing.
     timings: dict[str, float] = {}
+    query_walls: dict[str, list] = {}
     for name in HEADLINE:
-        start = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - start, 3)
+        walls = []
+        for _rep in range(2):
+            start = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            walls.append(round(time.time() - start, 3))
+        timings[name] = min(walls)
+        query_walls[name] = walls
 
     # ANN index quality (VERDICT r1 item 9): recall@5 vs brute force at
-    # n_probe=4/16 cells, for both the oracle-checkable sample centroids
-    # and the trained k-means index
-    from pilsner_spark.operators.ann import kmeans_centroids, recall_at_k
+    # n_probe=4/16 cells, for the oracle-checkable sample centroids, the
+    # trained k-means index, and the composed IVF-PQ scale path (charges
+    # probe pruning + codeword quantization together)
+    from pilsner_spark.operators.ann import ivf_pq_recall_at_k, kmeans_centroids, recall_at_k
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     annq = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -83,6 +117,14 @@ def main() -> None:
     ann_recall = {
         "sample": round(recall_at_k(emb, annq, k=5, n_cells=16, n_probe=4), 3),
         "kmeans": round(recall_at_k(emb, annq, k=5, n_cells=16, n_probe=4, centroids=km), 3),
+        # realistic PQ setting (16 subquantizers x 256 codewords = 16 bytes
+        # per vector, 16x compression over 64 float dims); the tiny
+        # m=4/n_codes=16 setting in the CORRECTNESS query exists for oracle
+        # cost, not quality — synthetic near-random embeddings quantize
+        # poorly at that size (measured 0.28 recall vs 0.78 here)
+        "ivf_pq": round(
+            ivf_pq_recall_at_k(emb, annq, k=5, m=16, n_codes=256, n_cells=16, n_probe=4), 3
+        ),
     }
 
     # ER pipeline throughput: synthetic dictionary corpus sized by sf
@@ -97,12 +139,15 @@ def main() -> None:
     # BENCH/BASELINE.md measurement history) — a single sample of the
     # dominant query is noise, the min of two is the steady-state estimate.
     er_walls = []
+    er_telemetry = []
     result = None
     for rep in range(2):
         shutil.rmtree(workdir, ignore_errors=True)
+        stat0 = read_proc_stat()
         start = time.time()
         result = run_er_pipeline(spark, workdir, transcripts, model=model)
         er_walls.append(round(time.time() - start, 3))
+        er_telemetry.append(telemetry_delta(stat0, read_proc_stat()))
     er_wall = min(er_walls)
     # pair count from stage lineage/Observation — counting result["scored"]
     # here would charge the timed window one checkpoint re-read the pipeline
@@ -127,6 +172,9 @@ def main() -> None:
         "er_walls": er_walls,
         "er_f1": f1["f1"],
         "ann_recall_at5": ann_recall,
+        "query_walls": query_walls,
+        "host": telemetry_delta(host_before, read_proc_stat()),
+        "er_host": er_telemetry,
     }
     print(json.dumps(report))
     spark.stop()

@@ -27,6 +27,25 @@ import sys
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+def read_proc_stat():
+    """Aggregate cpu jiffies (user, nice, system, idle, iowait, irq,
+    softirq, steal) — per-leg host-noise telemetry (VERDICT r3 item 1:
+    degraded windows must be machine-detectable, not argued post-hoc)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return [int(x) for x in parts[1:9]]
+
+
+def telemetry_delta(before, after) -> dict:
+    d = [b - a for a, b in zip(before, after)]
+    total = sum(d) or 1
+    return {
+        "steal_pct": round(100.0 * d[7] / total, 2),
+        "sys_pct": round(100.0 * d[2] / total, 2),
+        "iowait_pct": round(100.0 * d[4] / total, 2),
+    }
+
+
 def run_once(cpus: int, scale: float, entities: int, seed: int, max_token_df=None) -> dict:
     workdir = f"/tmp/pilsner_scaling_{cpus}"
     shutil.rmtree(workdir, ignore_errors=True)
@@ -49,8 +68,10 @@ def run_once(cpus: int, scale: float, entities: int, seed: int, max_token_df=Non
     ]
     if max_token_df is not None:
         cmd += ["--max-token-df", str(max_token_df)]
+    stat0 = read_proc_stat()
     out = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True, check=True)
     report = json.loads(out.stdout.strip().splitlines()[-1])
+    report["host"] = telemetry_delta(stat0, read_proc_stat())
     shutil.rmtree(workdir, ignore_errors=True)
     return report
 
@@ -76,7 +97,14 @@ def main() -> None:
             bucket.append(r)
             print(
                 json.dumps(
-                    {"rep": rep, "cpus": cpus, "wall": r["wall_seconds"], "thr": r["pairs_per_second"], "f1": r["f1"]}
+                    {
+                        "rep": rep,
+                        "cpus": cpus,
+                        "wall": r["wall_seconds"],
+                        "thr": r["pairs_per_second"],
+                        "f1": r["f1"],
+                        "host": r["host"],
+                    }
                 ),
                 flush=True,
             )
@@ -121,6 +149,19 @@ def main() -> None:
     samples_n = ", ".join(str(r["pairs_per_second"]) for r in runs_n)
     samples_4n = ", ".join(str(r["pairs_per_second"]) for r in runs_4n)
 
+    def leg_rows() -> str:
+        rows = []
+        for rep in range(args.reps):
+            for cpus, bucket in ((n, runs_n), (n4, runs_4n)):
+                r = bucket[rep]
+                h = r.get("host", {})
+                rows.append(
+                    f"| {rep} | {cpus} | {r['wall_seconds']} | {r['pairs_per_second']} "
+                    f"| {h.get('steal_pct', '-')} | {h.get('sys_pct', '-')} "
+                    f"| {h.get('iowait_pct', '-')} |"
+                )
+        return os.linesep.join(rows)
+
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         f.write(
@@ -146,6 +187,14 @@ below.
 - corpus: {r_n['n_turns']} turns, {r_n['pairs_scored']} candidate pairs scored
 - **scaling efficiency = (thr_4N / thr_N) / 4 = {round(eff, 3)}** (target >= 0.8)
 - raw samples (pairs/s) N: [{samples_n}]; 4N: [{samples_4n}]
+
+Per-leg host telemetry (/proc/stat deltas over each leg — steal > ~1% or a
+sys spike marks a degraded shared-host window; read the efficiency number
+together with this table):
+
+| rep | cores | wall (s) | pairs/s | steal % | sys % | iowait % |
+|---|---|---|---|---|---|---|
+{leg_rows()}
 - results identical at all levels/reps: {summary['identical_results']}
 - the throughput window covers the full pipeline (all six stages incl.
   per-stage checkpoint writes and lineage); corpus synthesis, JVM/Python

@@ -268,6 +268,35 @@ def pq_encode(
     )
 
 
+def _pq_reconstructions(
+    vectors: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """(vec_id, r_vec): every vector's PQ codeword reconstruction — the
+    concatenated per-subspace codewords its codes represent, i.e. exactly
+    what a scorer reading the compressed index sees. Build = codebooks
+    (broadcastable O(m x n_codes)) + linear min_by encode + one broadcast
+    join back."""
+    cb = pq_codebooks(vectors, m, n_codes, id_col, vec_col, dim).localCheckpoint()
+    codes = pq_encode(vectors, cb, m, id_col, vec_col, dim)
+    return (
+        codes.join(F.broadcast(cb), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "c_sub"))),
+                    lambda s: s["c_sub"],
+                )
+            ).alias("r_vec")
+        )
+    )
+
+
 def pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -280,27 +309,18 @@ def pq_topk(
     dim: Optional[int] = None,
 ) -> DataFrame:
     """Approximate top-k over PQ-compressed vectors: encode once, score
-    queries against the codeword RECONSTRUCTION (concatenated per-subspace
-    codewords — exactly the vector the codes represent), rank as in
+    queries against the codeword RECONSTRUCTION, rank as in
     brute_force_topk. Same output schema; ``cosine`` is the approximate
-    (reconstructed) similarity. Composable with IVF cell probing for the
-    full IVF-PQ shape — the reconstruction join is per candidate either
-    way. Queries stay uncompressed (asymmetric scoring, the standard PQ
-    setup: only the corpus side pays the quantization error)."""
-    cb = pq_codebooks(vectors, m, n_codes, id_col, vec_col, dim).localCheckpoint()
-    codes = pq_encode(vectors, cb, m, id_col, vec_col, dim)
-    recon = (
-        codes.join(F.broadcast(cb), ["m", "code"])
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("m", "c_sub"))),
-                    lambda s: s["c_sub"],
-                )
-            ).alias("r_vec")
-        )
-    )
+    (reconstructed) similarity. Queries stay uncompressed (asymmetric
+    scoring, the standard PQ setup: only the corpus side pays the
+    quantization error).
+
+    This is the COMPRESSION-QUALITY BASELINE: it scans every
+    reconstruction per query (O(N x Q) candidates). The 100 TB search path
+    is :func:`ivf_pq_topk`, which routes the same reconstructions through
+    IVF cell probing so the candidate set per query is O(probed cells),
+    never O(N)."""
+    recon = _pq_reconstructions(vectors, m, n_codes, id_col, vec_col, dim)
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
     )
@@ -309,6 +329,73 @@ def pq_topk(
         .crossJoin(recon.withColumnRenamed("vec_id", "neighbor_id"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("r_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: Optional[DataFrame] = None,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """IVF-PQ — the composed 100 TB ANN shape (Jégou et al., TPAMI 2011):
+    the IVF index prunes the SEARCH (each query probes its ``n_probe``
+    nearest cells, so candidates are O(probed cells), never O(N)) while PQ
+    compresses the STORAGE (candidates are scored against their codeword
+    reconstructions — m small ints per vector instead of dim floats, 64x
+    less index memory/IO at m=4 codes over 64 float dims).
+
+    Physical shape: cell assignment and query probing are the ivf_topk
+    plan (broadcast-centroid max_by argmax, no window over N x C); the
+    probed-cell candidate join then picks up ``_pq_reconstructions``
+    instead of raw vectors, so the full-width embedding column is never
+    read at query time. Same output schema as brute_force_topk; ``cosine``
+    is the reconstructed approximation. Default centroids/codebooks are
+    the deterministic samples (oracle-exact); trained k-means centroids
+    drop in via ``centroids``."""
+    if centroids is None:
+        centroids = sample_centroids(vectors, n_cells, id_col, vec_col)
+    centroids = centroids.localCheckpoint()  # reused by assignment + probing
+    assign = ivf_assign(vectors, n_cells, id_col, vec_col, centroids=centroids)
+    recon = _pq_reconstructions(vectors, m, n_codes, id_col, vec_col, dim)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    q_cells = (
+        F.broadcast(centroids)
+        .crossJoin(q)
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_similarity(F.col("c_vec").cast("array<double>"), F.col("q_vec")), 6
+            ),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cell"))
+    probed = (
+        q_cells.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    cand = probed.join(assign.withColumnRenamed("vec_id", "neighbor_id"), "cell").join(
+        recon.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    )
+    scored = cand.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("r_vec")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -332,6 +419,43 @@ def pq_recall_at_k(
     compression-quality twin of ``recall_at_k``."""
     truth = brute_force_topk(vectors, queries, k, id_col, vec_col, query_id_col)
     approx = pq_topk(vectors, queries, k, m, n_codes, id_col, vec_col, query_id_col)
+    hits = truth.join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    ).count()
+    total = truth.count()
+    return hits / total if total else 1.0
+
+
+def ivf_pq_recall_at_k(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: Optional[DataFrame] = None,
+) -> float:
+    """Fraction of brute-force top-k the composed IVF-PQ path recovers —
+    charges BOTH approximation sources at once (probe pruning + codeword
+    quantization), the honest quality number for the scale path."""
+    truth = brute_force_topk(vectors, queries, k, id_col, vec_col, query_id_col)
+    approx = ivf_pq_topk(
+        vectors,
+        queries,
+        k,
+        m,
+        n_codes,
+        n_cells,
+        n_probe,
+        id_col,
+        vec_col,
+        query_id_col,
+        centroids=centroids,
+    )
     hits = truth.join(
         approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
     ).count()
