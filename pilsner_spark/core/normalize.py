@@ -105,6 +105,30 @@ def load_normalizer_xml(path: str) -> NormalizerConfig:
         return normalizer_from_xml_string(f.read())
 
 
+def config_to_xml(cfg: NormalizerConfig) -> str:
+    """Serialize a NormalizerConfig back to the sic-style tokenizer XML it
+    was parsed from — the exact inverse of :func:`normalizer_from_xml_string`
+    (round-trip pinned by test). This is the reference engine's own
+    normalizer CONFIG format (its ``add_normalizer`` compiles an XML file,
+    model.py:188-213), so exported configs are directly loadable there."""
+    from xml.sax.saxutils import quoteattr
+
+    parts = [f"<tokenizer name={quoteattr(cfg.name or 'exported')}>"]
+    if cfg.lowercase:
+        parts.append('  <setting name="cs" value="0"/>')
+    if cfg.bypass:
+        parts.append('  <setting name="bypass" value="1"/>')
+    for r in cfg.rules:
+        if r.kind == "split":
+            parts.append(f"  <split where={quoteattr(r.where)} value={quoteattr(r.frm)}/>")
+        elif r.kind == "token":
+            parts.append(f"  <token to={quoteattr(r.to)} from={quoteattr(r.frm)}/>")
+        elif r.kind == "character":
+            parts.append(f"  <character to={quoteattr(r.to)} from={quoteattr(r.frm)}/>")
+    parts.append("</tokenizer>")
+    return "\n".join(parts)
+
+
 BYPASS = NormalizerConfig(name="bypass", bypass=True)
 
 

@@ -108,6 +108,7 @@ def import_reference_model(
     prefix: str,
     normalizers: Optional[Dict[str, object]] = None,
     normalizer_map: Optional[Dict[str, str]] = None,
+    allow_tokenizer_option_divergence: bool = False,
 ) -> CompiledModel:
     """Build a :class:`CompiledModel` from reference model files at
     ``<prefix>.{normalizers,*.dictionary,keywords,attributes}``.
@@ -120,6 +121,17 @@ def import_reference_model(
     ``import_report`` entry. ``normalizer_map``: dictionary tag -> unit
     routing. The returned model carries ``import_report`` =
     {'units': {unit: 'caller'|'payload'|'bypass'}, 'degraded_lines': int}.
+
+    A model compiled with ``tokenizer_option != 0`` is REFUSED by default
+    (ValueError): this engine implements option-0 tokenization (SURVEY
+    §2.4 — the option is an opaque mode flag the reference passes through
+    to ``sic``, never exercised nonzero in its tests, examples, or docs,
+    and ``sic`` is not importable here to pin the alternative semantics),
+    so serving such a model would silently normalize query text
+    differently than the pipeline that compiled it. Pass
+    ``allow_tokenizer_option_divergence=True`` to downgrade the refusal to
+    a warning when the caller knows their labels are unaffected (e.g.
+    single-token labels, where tokenization mode cannot matter).
     """
     report: Dict[str, object] = {"units": {}, "degraded_lines": 0}
     with open(f"{prefix}.normalizers", "rb") as f:
@@ -131,16 +143,17 @@ def import_reference_model(
     tokenizer_option = norm_meta.get(TOKENIZER_OPTION_KEY, 0) or 0
     report["tokenizer_option"] = int(tokenizer_option)
     if tokenizer_option != 0:
-        # The engine pins tokenizer_option=0 (SURVEY §2.4: always 0 in the
-        # reference's tests/examples). A model compiled under a nonzero
-        # option would import but normalize differently at query time —
-        # say so instead of silently diverging.
-        _LOG.warning(
-            "import_reference_model: model was compiled with tokenizer_option=%s; "
-            "this engine implements option 0 semantics — query-time normalization "
-            "may diverge from the originating pipeline",
-            tokenizer_option,
+        message = (
+            f"import_reference_model: model was compiled with tokenizer_option="
+            f"{tokenizer_option}; this engine implements option 0 semantics "
+            "(reference model.py:44/60/120 — the flag is passed through to sic, "
+            "whose nonzero modes are not reproducible here), so query-time "
+            "normalization would diverge from the originating pipeline. Pass "
+            "allow_tokenizer_option_divergence=True to import anyway."
         )
+        if not allow_tokenizer_option_divergence:
+            raise ValueError(message)
+        _LOG.warning(message)
     payloads = norm_meta.get(NORMALIZER_KEY, {}) or {}
     ref_units = list(payloads)
     for unit in ref_units:

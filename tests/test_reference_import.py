@@ -277,7 +277,11 @@ def test_opaque_payload_degrades_loudly(tmp_path):
     assert imported.import_report["tokenizer_option"] == 0
 
 
-def test_nonzero_tokenizer_option_is_flagged(tmp_path, caplog):
+def test_nonzero_tokenizer_option_is_refused_by_default(tmp_path, caplog):
+    """VERDICT r3 item 8: a nonzero tokenizer_option cannot be served with
+    option-0 semantics — the import must fail LOUDLY by default (never
+    silently diverge), and the documented escape hatch downgrades the
+    refusal to a warning."""
     import logging
 
     prefix = _write_reference_files(tmp_path)
@@ -291,8 +295,14 @@ def test_nonzero_tokenizer_option_is_flagged(tmp_path, caplog):
             },
             f,
         )
+    with pytest.raises(ValueError, match="tokenizer_option=3"):
+        import_reference_model(prefix, normalizer_map={"tokenizer1": "t1", "tokenizer2": "t2"})
     with caplog.at_level(logging.WARNING, logger="pilsner_spark.sources.reference_import"):
-        imported = import_reference_model(prefix, normalizer_map={"tokenizer1": "t1", "tokenizer2": "t2"})
+        imported = import_reference_model(
+            prefix,
+            normalizer_map={"tokenizer1": "t1", "tokenizer2": "t2"},
+            allow_tokenizer_option_divergence=True,
+        )
     assert imported.import_report["tokenizer_option"] == 3
     assert any("tokenizer_option=3" in r.message for r in caplog.records)
 
