@@ -338,6 +338,39 @@ def pq_topk(
     )
 
 
+def pq_index(
+    vectors: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[DataFrame] = None,
+    codebooks: Optional[DataFrame] = None,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """The stored IVF-PQ index: (vec_id, cell, m, code) — m small ints per
+    vector plus its IVF cell, ~16 bytes/vector at the bench's realistic
+    m=16 setting vs 256+ bytes of raw floats. This is the ONLY table the
+    query path reads; the full-width embedding column is touched here, at
+    index build, and never again. At scale, persist it partitioned by
+    ``cell`` so probed-cell joins become partition-pruned scans:
+
+        pq_index(emb).write.partitionBy("cell").parquet(path)
+
+    Build shape: one broadcast-centroid max_by pass for cells (linear,
+    no window) + one broadcast-codebook min_by pass for codes (linear) +
+    a join of the two code-width tables on vec_id — nothing full-width
+    crosses an exchange."""
+    if centroids is None:
+        centroids = sample_centroids(vectors, n_cells, id_col, vec_col)
+    if codebooks is None:
+        codebooks = pq_codebooks(vectors, m, n_codes, id_col, vec_col, dim)
+    assign = ivf_assign(vectors, n_cells, id_col, vec_col, centroids=centroids)
+    codes = pq_encode(vectors, codebooks, m, id_col, vec_col, dim)
+    return codes.join(assign, "vec_id")
+
+
 def ivf_pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -351,6 +384,8 @@ def ivf_pq_topk(
     query_id_col: str = "query_id",
     centroids: Optional[DataFrame] = None,
     dim: Optional[int] = None,
+    index: Optional[DataFrame] = None,
+    codebooks: Optional[DataFrame] = None,
 ) -> DataFrame:
     """IVF-PQ — the composed 100 TB ANN shape (Jégou et al., TPAMI 2011):
     the IVF index prunes the SEARCH (each query probes its ``n_probe``
@@ -359,19 +394,32 @@ def ivf_pq_topk(
     reconstructions — m small ints per vector instead of dim floats, 64x
     less index memory/IO at m=4 codes over 64 float dims).
 
-    Physical shape: cell assignment and query probing are the ivf_topk
-    plan (broadcast-centroid max_by argmax, no window over N x C); the
-    probed-cell candidate join then picks up ``_pq_reconstructions``
-    instead of raw vectors, so the full-width embedding column is never
-    read at query time. Same output schema as brute_force_topk; ``cosine``
-    is the reconstructed approximation. Default centroids/codebooks are
-    the deterministic samples (oracle-exact); trained k-means centroids
-    drop in via ``centroids``."""
+    Physical shape: query-time work reads ONLY the compact
+    :func:`pq_index` table. The tiny probed-cell table (queries x n_probe
+    rows) broadcasts onto it — one scan of code-width rows, no shuffle of
+    anything full-width — and codeword reconstruction happens AFTER that
+    join, so it is O(candidates), not O(N): candidate code rows join the
+    broadcast O(m x n_codes) codebook and re-assemble r_vec per
+    (query, candidate). (An earlier shape joined candidates against
+    pre-reconstructed vectors, which rebuilt and shuffled all N full-width
+    arrays per query batch — exactly the cost PQ exists to avoid.)
+
+    Same output schema as brute_force_topk; ``cosine`` is the
+    reconstructed approximation. Default centroids/codebooks are the
+    deterministic samples (oracle-exact); trained k-means centroids drop
+    in via ``centroids``; a persisted index (partitioned by cell) drops in
+    via ``index``, making ``vectors`` build-time-only."""
     if centroids is None:
         centroids = sample_centroids(vectors, n_cells, id_col, vec_col)
     centroids = centroids.localCheckpoint()  # reused by assignment + probing
-    assign = ivf_assign(vectors, n_cells, id_col, vec_col, centroids=centroids)
-    recon = _pq_reconstructions(vectors, m, n_codes, id_col, vec_col, dim)
+    if codebooks is None:
+        codebooks = pq_codebooks(vectors, m, n_codes, id_col, vec_col, dim)
+    codebooks = codebooks.localCheckpoint()  # reused by encode + reconstruction
+    if index is None:
+        index = pq_index(
+            vectors, m, n_codes, n_cells, id_col, vec_col,
+            centroids=centroids, codebooks=codebooks, dim=dim,
+        )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
     )
@@ -389,12 +437,29 @@ def ivf_pq_topk(
     probed = (
         q_cells.withColumn("r", F.row_number().over(wq))
         .filter(F.col("r") <= n_probe)
-        .select("query_id", "q_vec", "cell")
+        .select("query_id", "cell")
     )
-    cand = probed.join(assign.withColumnRenamed("vec_id", "neighbor_id"), "cell").join(
-        recon.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    cand = (
+        index.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
     )
-    scored = cand.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
+    # reconstruction AFTER pruning: same r_vec as _pq_reconstructions
+    # (per-subspace codewords concatenated in m order), built only for the
+    # probed-cell candidates
+    recon = (
+        cand.join(F.broadcast(codebooks), ["m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "c_sub"))),
+                    lambda s: s["c_sub"],
+                )
+            ).alias("r_vec")
+        )
+    )
+    scored = recon.join(F.broadcast(q), "query_id").withColumn(
         "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("r_vec")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -5,11 +5,13 @@ metadata struct; the Spark-side machinery (schema, Arrow batch shape,
 partition sizing, UDF signatures) is real and tested. Decoding is REAL
 for the uncompressed formats a pure numpy parser can handle — PPM (P6),
 PGM (P5), and 24-bit uncompressed BMP (``decode_image_array``, with
-nearest-neighbor ``resize_nearest``), and 8/16-bit PCM RIFF/WAVE audio
-(``decode_audio_array``, with ``frame_rms`` frame sampling) — and real
-pixel/audio features flow through ``extract_features_df`` for those
-payloads, routed per media_type. Compressed codecs (JPEG/PNG/MP3/video)
-are STUBBED: this container has no codec libraries, so the decoders raise
+nearest-neighbor ``resize_nearest``), 8/16-bit PCM RIFF/WAVE audio
+(``decode_audio_array``, with ``frame_rms`` frame sampling), and
+uncompressed-DIB RIFF/AVI video (``decode_video_array``, with
+``sample_frames`` frame sampling) — and real pixel/audio/video features
+flow through ``extract_features_df`` for those payloads, routed per
+media_type. Compressed codecs (JPEG/PNG/MP3/MJPEG/H.264...) are STUBBED:
+this container has no codec libraries, so the decoders raise
 NotImplementedError for them unless ``fake=True``, in which case a
 deterministic byte-derived feature vector stands in — letting the
 downstream operators (dedup by feature cosine, ANN over extracted
@@ -134,24 +136,11 @@ def decode_audio_array(payload: bytes) -> Tuple[np.ndarray, int]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("payload is not a RIFF/WAVE container")
     fmt = data = None
-    i = 12
-    while i + 8 <= len(payload):
-        cid = payload[i : i + 4]
-        sz = struct.unpack_from("<I", payload, i + 4)[0]
-        if i + 8 + sz > len(payload):
-            # a declared chunk size running past the buffer is truncation /
-            # corruption — raise so strict (fake=False) mode surfaces it
-            # instead of silently decoding fewer frames (ADVICE r3)
-            raise ValueError(
-                f"truncated RIFF chunk {cid!r}: declares {sz} bytes at offset {i}, "
-                f"payload has {len(payload) - i - 8} remaining"
-            )
-        body = payload[i + 8 : i + 8 + sz]
+    for cid, off, sz in _riff_chunks(payload, 12, len(payload)):
         if cid == b"fmt ":
-            fmt = body
+            fmt = payload[off : off + sz]
         elif cid == b"data":
-            data = body
-        i += 8 + sz + (sz & 1)  # chunks are 2-byte aligned
+            data = payload[off : off + sz]
     if fmt is None or data is None:
         raise NotImplementedError("WAVE file lacks fmt/data chunks")
     audio_format, channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
@@ -197,6 +186,132 @@ def frame_rms(samples: np.ndarray, sample_rate: int, every_ms: int = 100) -> Lis
     return [round(float(v), 6) for v in np.sqrt((frames**2).mean(axis=1))]
 
 
+def _riff_chunks(payload: bytes, start: int, end: int):
+    """Walk one level of a RIFF chunk list, yielding (chunk id, body
+    offset, body size). A declared size running past ``end`` is truncation
+    or corruption — raise so strict (fake=False) callers surface it instead
+    of silently decoding fewer frames (same contract as the WAV walker)."""
+    i = start
+    while i + 8 <= end:
+        cid = payload[i : i + 4]
+        sz = struct.unpack_from("<I", payload, i + 4)[0]
+        if i + 8 + sz > end:
+            raise ValueError(
+                f"truncated RIFF chunk {cid!r}: declares {sz} bytes at offset {i}, "
+                f"{end - i - 8} remaining"
+            )
+        yield cid, i + 8, sz
+        i += 8 + sz + (sz & 1)  # chunks are 2-byte aligned
+
+
+def decode_video_array(payload: bytes) -> Tuple[np.ndarray, float]:
+    """REAL decode (pure numpy) of RIFF/AVI video whose frames are
+    UNCOMPRESSED 24-bit DIBs ('00db' chunks, biCompression=BI_RGB) — the
+    video twin of the WAV/BMP parsers: AVI is a RIFF container, a DIB
+    frame is a BMP raster without the file header (bottom-up BGR rows,
+    4-byte-aligned stride). Walks LIST hdrl (avih for frame timing, the
+    'vids' stream's strh/strf for geometry) then LIST movi collecting
+    frame chunks; extra chunks (JUNK, idx1, audio '##wb') are skipped by
+    id. Returns (frames, fps) with frames shaped (n, H, W, 3) uint8 RGB.
+    Compressed frame chunks ('##dc') or a non-BI_RGB/non-24-bit format
+    raise NotImplementedError — entropy decoding needs codec libraries
+    this environment does not ship."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("payload is not a RIFF/AVI container")
+    usec_per_frame = None
+    bw = bh = bpp = comp = None
+    cur_stream = None
+    frame_spans: List[Tuple[int, int]] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal usec_per_frame, bw, bh, bpp, comp, cur_stream
+        for cid, off, sz in _riff_chunks(payload, start, end):
+            if cid == b"LIST":
+                walk(off + 4, off + sz)  # body = 4-byte list type + children
+            elif cid == b"avih":
+                usec_per_frame = struct.unpack_from("<I", payload, off)[0]
+            elif cid == b"strh":
+                cur_stream = payload[off : off + 4]
+            elif cid == b"strf" and cur_stream == b"vids" and bpp is None:
+                # BITMAPINFOHEADER: size, width, height, planes, bitcount,
+                # compression, ... (the per-stream geometry of record)
+                bw, bh = struct.unpack_from("<ii", payload, off + 4)
+                bpp = struct.unpack_from("<H", payload, off + 14)[0]
+                comp = struct.unpack_from("<I", payload, off + 16)[0]
+            elif cid[2:4] == b"dc":
+                raise NotImplementedError(
+                    "compressed AVI frame chunks ('##dc') need codec libraries "
+                    "not present in this environment"
+                )
+            elif cid[2:4] == b"db":
+                frame_spans.append((off, sz))
+
+    walk(12, len(payload))
+    if usec_per_frame is None or bpp is None:
+        raise NotImplementedError("AVI lacks avih / 'vids' strf headers")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only 24-bit uncompressed (BI_RGB) AVI frames are supported")
+    fps = (1e6 / usec_per_frame) if usec_per_frame else 0.0
+    w, h = bw, abs(bh)
+    stride = (w * 3 + 3) // 4 * 4
+    out = np.empty((len(frame_spans), h, w, 3), np.uint8)
+    for k, (off, sz) in enumerate(frame_spans):
+        if sz < stride * h:
+            raise ValueError(f"AVI frame {k} has {sz} bytes, raster needs {stride * h}")
+        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+        img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if bh > 0:
+            img = img[::-1]  # positive height = bottom-up row order
+        out[k] = img[:, :, ::-1]  # BGR -> RGB
+    return out, fps
+
+
+def video_features(frames: np.ndarray, fps: float) -> List[float]:
+    """16-dim feature vector from decoded frames: duration (s), mean
+    luminance /255, luminance std /255, mean |frame-to-frame luminance
+    delta| /255 (motion), then a 12-bin luminance histogram over all
+    frames — the video analog of ``pixel_features``/``audio_features``."""
+    if frames.size == 0:
+        return [0.0] * FEATURE_DIM
+    lum = frames.astype(np.float64).mean(axis=3)
+    motion = float(np.abs(np.diff(lum, axis=0)).mean()) / 255.0 if len(frames) > 1 else 0.0
+    hist, _ = np.histogram(lum, bins=FEATURE_DIM - 4, range=(0.0, 255.0))
+    head = [
+        len(frames) / fps if fps else 0.0,
+        float(lum.mean()) / 255.0,
+        float(lum.std()) / 255.0,
+        motion,
+    ]
+    return [round(float(v), 6) for v in head + list(hist / max(1, lum.size))]
+
+
+def sample_frames(frames: np.ndarray, fps: float, every_ms: int = 1000) -> np.ndarray:
+    """Fixed-interval frame sampling (the video frame-sample step,
+    vectorized index map — one frame per requested timestamp t=0,
+    every_ms, 2*every_ms, ..., matching ``frame_sample_plan``'s timestamp
+    grid)."""
+    n = len(frames)
+    if n == 0 or fps <= 0:
+        return frames[:0]
+    duration_ms = n / fps * 1000.0
+    ts = np.arange(0.0, duration_ms, every_ms)
+    idx = np.minimum((ts * fps / 1000.0).astype(int), n - 1)
+    return frames[idx]
+
+
+def decode_video(payload: bytes, fake: bool = False) -> List[float]:
+    """Decode + feature-extract one video payload: uncompressed-DIB AVI
+    decodes for real (``decode_video_array`` -> ``video_features``);
+    compressed codecs raise NotImplementedError, or with ``fake=True``
+    fall back to the deterministic byte-histogram stand-in."""
+    try:
+        return video_features(*decode_video_array(payload))
+    except (NotImplementedError, ValueError, IndexError, struct.error):
+        if not fake:
+            raise
+    return _byte_histogram(payload)
+
+
 def decode_audio(payload: bytes, fake: bool = False) -> List[float]:
     """Decode + feature-extract one audio payload: PCM WAV decodes for real
     (``decode_audio_array`` -> ``audio_features``); compressed codecs raise
@@ -239,14 +354,12 @@ def decode_image(payload: bytes, fake: bool = False) -> List[float]:
 
 def decode_media(payload: bytes, media_type: str, fake: bool = False) -> List[float]:
     """Route one payload to its modality decoder: image -> PPM/PGM/BMP
-    parser, audio -> PCM WAV parser, video (no uncompressed container a
-    pure-numpy parser can handle) -> stand-in only."""
+    parser, audio -> PCM WAV parser, video -> uncompressed-DIB AVI
+    parser."""
     if media_type == "audio":
         return decode_audio(payload, fake=fake)
     if media_type == "video":
-        if not fake:
-            raise NotImplementedError("video decode needs codec libraries not present here")
-        return _byte_histogram(payload)
+        return decode_video(payload, fake=fake)
     return decode_image(payload, fake=fake)
 
 
@@ -281,7 +394,8 @@ def extract_features_df(media: DataFrame, fake: bool = True) -> DataFrame:
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per frame to extract (timestamps
-    only — the decode is the stubbed step). Pure JVM expression."""
+    only; ``sample_frames`` applies the same grid to decoded frames). Pure
+    JVM expression."""
     n_frames = F.greatest(F.floor(F.col("duration_ms") / every_ms), F.lit(1)).cast("int")
     return media.filter(F.col("media_type") == "video").select(
         "media_id",

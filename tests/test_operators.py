@@ -511,3 +511,45 @@ def test_ann_ivf_pq_composed(spark, vectors):
     assert full == pq
     # half-probe quality floor (both approximations charged together)
     assert ivf_pq_recall_at_k(vectors, queries, k=3, m=2, n_codes=16, n_cells=8, n_probe=4) >= 0.9
+
+
+def test_ann_ivf_pq_persisted_index_never_reads_vectors(spark, vectors, tmp_path):
+    """The 100 TB serving shape: pq_index persisted partitioned by cell,
+    then queried with vectors=None — proving query-time work reads ONLY the
+    compact code index + the broadcast-scale centroid/codebook tables
+    (reconstruction is O(candidates), after the probed-cell join). Results
+    must equal the inline build byte-for-byte."""
+    from pilsner_spark.operators.ann import (
+        ivf_pq_topk,
+        pq_codebooks,
+        pq_index,
+        sample_centroids,
+    )
+
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=4, m=2, n_codes=16, n_cells=8, n_probe=4)
+    inline = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_pq_topk(vectors, queries, **kw).collect()
+    }
+
+    cents = sample_centroids(vectors, 8)
+    cb = pq_codebooks(vectors, m=2, n_codes=16)
+    idx_path = str(tmp_path / "pq_index")
+    pq_index(vectors, m=2, n_codes=16, n_cells=8, centroids=cents, codebooks=cb).write.partitionBy(
+        "cell"
+    ).parquet(idx_path)
+    served = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_pq_topk(
+            None,  # raw vectors provably untouched at query time
+            queries,
+            centroids=cents,
+            codebooks=cb,
+            index=spark.read.parquet(idx_path),
+            **kw,
+        ).collect()
+    }
+    assert served == inline

@@ -200,6 +200,118 @@ def test_truncated_wav_raises_in_strict_mode():
     assert len(decode_audio(truncated, fake=True)) == 16
 
 
+def _avi(frames, fps=10, compressed=False):
+    """Minimal RIFF/AVI payload with uncompressed 24-bit DIB frames.
+    ``frames``: list of (H, W, 3) uint8 RGB top-down arrays (encoded
+    bottom-up BGR with 4-byte-aligned stride, as DIB requires);
+    ``compressed`` swaps frame ids to '00dc' (the codec path)."""
+    import struct as _s
+
+    import numpy as np
+
+    h, w = frames[0].shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+
+    def chunk(cid, body):
+        return cid + _s.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(tp, body):
+        return chunk(b"LIST", tp + body)
+
+    avih = _s.pack("<10I", int(1e6 // fps), 0, 0, 0, len(frames), 0, 1, 0, w, h)
+    strh = b"vids" + (b"MJPG" if compressed else b"DIB ") + b"\x00" * 48
+    strf = _s.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 1 if compressed else 0, stride * h, 0, 0, 0, 0
+    )
+
+    def dib(f):
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        return rows.tobytes()
+
+    fid = b"00dc" if compressed else b"00db"
+    body = (
+        lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        + chunk(b"JUNK", b"\x00" * 8)  # alignment chunk real muxers emit
+        + lst(b"movi", b"".join(chunk(fid, dib(f)) for f in frames))
+    )
+    return b"RIFF" + _s.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def test_real_decode_avi():
+    """decode_video_array is REAL for uncompressed-DIB AVI: exact pixels
+    back out of every frame (bottom-up BGR + stride padding handled, JUNK
+    chunks skipped), fps from avih; sample_frames follows the
+    frame_sample_plan timestamp grid; compressed frame ids raise; a
+    truncated movi list raises in strict mode."""
+    import numpy as np
+
+    from pilsner_spark.operators.multimodal import (
+        decode_video,
+        decode_video_array,
+        sample_frames,
+        video_features,
+    )
+
+    # 3 frames, 3x2: odd width forces a nonzero stride pad (9 -> 12 bytes/row)
+    rng = [
+        np.full((2, 3, 3), v, np.uint8) + np.arange(18, dtype=np.uint8).reshape(2, 3, 3)
+        for v in (0, 100, 200)
+    ]
+    payload = _avi(rng, fps=2)
+    frames, fps = decode_video_array(payload)
+    assert fps == 2.0 and frames.shape == (3, 2, 3, 3)
+    assert [f.tolist() for f in frames] == [f.tolist() for f in rng]
+
+    # features: 16-dim, duration = 3 frames / 2 fps
+    f = video_features(frames, fps)
+    assert len(f) == 16 and f[0] == 1.5
+    assert f == decode_video(payload, fake=False)
+
+    # frame sampling: t=0ms, 1000ms at 2 fps -> frames 0 and 2
+    sampled = sample_frames(frames, fps, every_ms=1000)
+    assert sampled.shape[0] == 2
+    assert sampled[0].tolist() == rng[0].tolist() and sampled[1].tolist() == rng[2].tolist()
+
+    with pytest.raises(NotImplementedError, match="compressed AVI frame"):
+        decode_video_array(_avi(rng, compressed=True))
+    with pytest.raises(ValueError, match="truncated RIFF chunk"):
+        decode_video_array(payload[:-7])
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x01\xbamoov", fake=False)  # not a RIFF container
+    assert len(decode_video(b"\x00\x00\x01\xbamoov", fake=True)) == 16
+
+
+def test_video_routing_in_features_df(spark):
+    """A real AVI payload routes to the video decoder inside the Arrow
+    extract path, next to audio and image rows in the same batch."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from pilsner_spark.operators.multimodal import (
+        audio_features,
+        decode_audio_array,
+        decode_video_array,
+        video_features,
+    )
+
+    avi = _avi([np.full((2, 2, 3), 9, np.uint8)], fps=5)
+    wav = _wav([[0, 16384]], sample_rate=4)
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+        ]
+    )
+    media = spark.createDataFrame(
+        [(0, bytearray(avi), "video"), (1, bytearray(wav), "audio")], schema
+    )
+    got = {r.media_id: r.features for r in extract_features_df(media, fake=False).collect()}
+    assert got[0] == video_features(*decode_video_array(avi))
+    assert got[1] == audio_features(*decode_audio_array(wav))
+
+
 def test_audio_routing_in_features_df(spark):
     """An audio payload routes to the WAV decoder inside the Arrow extract
     path while image rows in the same batch use the image decoder."""

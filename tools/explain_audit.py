@@ -145,6 +145,24 @@ CHECKS = {
             ("no sort-merge join", r"SortMergeJoin"),
         ],
     },
+    # the IVF-PQ SERVING plan (prebuilt index persisted partitioned by
+    # cell, vectors=None): query-time work must read only code-width
+    # columns — candidate reconstruction happens after the probed-cell
+    # join, so nothing full-width is scanned or shuffled. The exchanges
+    # present are candidate-sized (probe window + per-candidate regroup),
+    # never O(N) full-width.
+    "ann_ivf_pq_served": {
+        "want": [
+            ("probed cells broadcast onto the index scan", r"BroadcastHashJoin"),
+            ("index scan reads code-width columns only", r"ReadSchema: struct<vec_id:bigint,m:int"),
+            ("whole-stage codegen (or AQE runtime-compiled)", r"codegen id|AdaptiveSparkPlan"),
+        ],
+        "avoid": [
+            ("full-width corpus vectors never appear at query time", r"(?<!q_)embedding"),
+            ("no sort-merge join", r"SortMergeJoin"),
+            ("no Python nodes", r"EvalPython|MapInPandas"),
+        ],
+    },
     # stage 2 = JW/Lev on the undecided slice, filter pushed into the scan
     "er_jw_slice": {
         "want": [
@@ -249,8 +267,47 @@ def _split(name):
     return build
 
 
+def _ann_served_df(spark):
+    """The IVF-PQ serving shape: index/centroids/codebooks persisted, raw
+    vectors absent (vectors=None). Query vectors are renamed q_embedding so
+    any bare 'embedding' column in the plan would be a full-width corpus
+    leak."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pilsner_spark.operators.ann import ivf_pq_topk, pq_codebooks, pq_index, sample_centroids
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    tmp = tempfile.mkdtemp(prefix="plan_audit_ann_")
+    cents = sample_centroids(emb, 16)
+    cb = pq_codebooks(emb, m=4, n_codes=16)
+    pq_index(emb, 4, 16, 16, centroids=cents, codebooks=cb).write.partitionBy("cell").parquet(
+        f"{tmp}/index"
+    )
+    cents.write.parquet(f"{tmp}/cents")
+    cb.write.parquet(f"{tmp}/cb")
+    emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    ).write.parquet(f"{tmp}/q")
+    return ivf_pq_topk(
+        None,
+        spark.read.parquet(f"{tmp}/q"),
+        k=5,
+        m=4,
+        n_codes=16,
+        n_cells=16,
+        n_probe=4,
+        vec_col="q_embedding",
+        centroids=spark.read.parquet(f"{tmp}/cents"),
+        codebooks=spark.read.parquet(f"{tmp}/cb"),
+        index=spark.read.parquet(f"{tmp}/index"),
+    )
+
+
 BUILDERS = {
     "er_scored_pairs": _er_scored_pairs_df,
+    "ann_ivf_pq_served": _ann_served_df,
     "er_scored_base": _split("er_scored_base"),
     "er_scored_fused": _split("er_scored_fused"),
     "er_jw_slice": _split("er_jw_slice"),
