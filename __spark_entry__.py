@@ -749,6 +749,50 @@ def q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def q_decontaminate_ngrams(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style n-gram overlap): every 50th
+    document stands in for the eval suite; training docs sharing any word
+    4-gram with it are flagged with distinct-hit counts. The benchmark gram
+    set is broadcast — corpus text never crosses an exchange."""
+    from pilsner_spark.operators.text_filters import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, bench, n=4)
+
+
+def q_quality_repetition(spark, sf_dir):
+    """Gopher-style repetition quality stats over word 2-grams: duplicate
+    n-gram occurrence fraction + top-single-n-gram share, per document."""
+    from pilsner_spark.operators.text_filters import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub over deterministically planted PII shapes (emails on
+    doc_id%7, IPv4 on %11, long digit runs on %13 — the corpus itself is
+    synthetic words, so the operator must be SHOWN redacting): redacted
+    text + per-kind hit counts, pure projection."""
+    from pilsner_spark.operators.text_filters import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact admin"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+            )
+            .when(F.col("doc_id") % 11 == 0, F.lit(" from 10.0.42.7 port 8080"))
+            .when(F.col("doc_id") % 13 == 0, F.lit(" ref 123456789012 ok"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(docs)
+
+
 def q_multimodal_metadata(spark, sf_dir):
     """Opaque binary column plumbing: treat text bytes as a blob, extract
     typed metadata (size, header hex) — the schema/partitioning pattern for
@@ -885,6 +929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality_langid": q_text_quality_langid,
         "text_fingerprint": q_text_fingerprint,
+        "decontaminate_ngrams": q_decontaminate_ngrams,
+        "quality_repetition": q_quality_repetition,
+        "pii_redaction": q_pii_redaction,
         "multimodal_metadata": q_multimodal_metadata,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -1382,6 +1429,38 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_fingerprint": (
             "select doc_id, md5(array_to_string(list_sort(list_distinct(list_filter(string_split(lower(text), ' '), x -> x != ''))), ' ')) as fingerprint from documents"
+        ),
+        "decontaminate_ngrams": (
+            "with toks as (select doc_id, list_filter(string_split(text, ' '), x -> x != '') as ts from documents), "
+            "grams as (select doc_id, unnest([array_to_string(ts[i:i+3], ' ') for i in generate_series(1, len(ts)-3)]) as gram "
+            "  from toks where len(ts) >= 4), "
+            "bench as (select distinct gram from grams where doc_id % 50 = 0), "
+            "corpus as (select distinct doc_id, gram from grams where doc_id % 50 != 0) "
+            "select doc_id, count(*) as n_hits, min(gram) as first_hit "
+            "from corpus join bench using (gram) group by doc_id"
+        ),
+        "quality_repetition": (
+            "with toks as (select doc_id, list_filter(string_split(text, ' '), x -> x != '') as ts from documents), "
+            "grams as (select doc_id, unnest([array_to_string(ts[i:i+1], ' ') for i in generate_series(1, len(ts)-1)]) as gram "
+            "  from toks where len(ts) >= 2), "
+            "pg as (select doc_id, gram, count(*) as c from grams group by doc_id, gram), "
+            "st as (select doc_id, sum(c) as total, count(*) as n_distinct, max(c) as top_c from pg group by doc_id) "
+            "select doc_id, round(1.0 - cast(n_distinct as double) / total, 6) as dup_ngram_frac, "
+            "round(cast(top_c as double) / total, 6) as top_ngram_frac from st "
+            "union all select doc_id, 0.0 as dup_ngram_frac, 0.0 as top_ngram_frac from toks where len(ts) < 2"
+        ),
+        "pii_redaction": (
+            "with t0 as (select doc_id, concat(text, case "
+            "when doc_id % 7 = 0 then concat(' contact admin', cast(doc_id as varchar), '@example.com now') "
+            "when doc_id % 11 = 0 then ' from 10.0.42.7 port 8080' "
+            "when doc_id % 13 = 0 then ' ref 123456789012 ok' else '' end) as text from documents), "
+            "t1 as (select doc_id, len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as n_email, "
+            "  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<PII:email>', 'g') as r from t0), "
+            "t2 as (select doc_id, n_email, len(regexp_extract_all(r, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) as n_ipv4, "
+            "  regexp_replace(r, '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<PII:ipv4>', 'g') as r from t1), "
+            "t3 as (select doc_id, n_email, n_ipv4, len(regexp_extract_all(r, '[0-9]{9,}')) as n_long_digits, "
+            "  regexp_replace(r, '[0-9]{9,}', '<PII:long_digits>', 'g') as redacted from t2) "
+            "select doc_id, redacted, n_email, n_ipv4, n_long_digits from t3"
         ),
         "multimodal_metadata": (
             "select doc_id, octet_length(encode(text)) as n_bytes, lower(hex(encode(substr(text, 1, 8)))) as header_hex from documents"

@@ -34,6 +34,8 @@ HEADLINE = [
     "text_stats",
     "text_quality_langid",
     "text_tfidf",
+    "decontaminate_ngrams",
+    "quality_repetition",
     "pack_token_budget",
     "agg_pricing_summary",
     "join_revenue_by_nation",

@@ -1,0 +1,263 @@
+"""End-to-end training-data preparation plan: stats -> dedup ->
+decontaminate -> quality-filter -> split -> pack, with the same
+per-stage checkpoint / lineage / resume machinery as the ER pipeline
+(plans/pipeline.Pipeline) — the corpus twin of the north_rule's
+"every stage resumable with lineage + metrics" contract.
+
+This composes the training-data operators the driver brief mandates into
+the pipeline a 100 TB pretraining-corpus build actually runs:
+
+1. ``doc_stats`` — per-document token/quality/lang/repetition signals
+   (functions/text.py + operators/text_filters.repetition_stats): one
+   projection plus one (doc_id, gram) hash aggregation.
+2. ``drops`` — the removal ledger, one row per (doc_id, reason):
+   - ``exact_dup``: md5-identical text, group keeper = min doc_id;
+   - ``near_dup``: MinHash-LSH candidates VERIFIED by token Jaccard
+     (LSH alone over-fires; candidates are cheap, verification joins
+     only the candidate pair set against the corpus — O(pairs), not
+     O(N^2)), then made transitive by connected components
+     (dedup.neardup_groups) so a doc chained to a keeper never survives;
+   - ``contaminated``: shares a word n-gram with the benchmark/eval set
+     (text_filters.decontaminate — benchmark grams broadcast).
+   Nothing is dropped silently: the ledger IS a checkpointed stage, and
+   per-reason counts land in the metrics dict.
+3. ``corpus_filtered`` — anti-join the ledger, then threshold quality /
+   repetition / length signals (reasons counted before the drop).
+4. ``splits`` — deterministic hash split (packing.deterministic_split):
+   a doc's split never changes when neighbors come or go.
+5. ``packed_<split>`` — token-budget offset packing per split
+   (packing.pack_by_budget, bucketed two-level prefix sum — no
+   single-partition window).
+
+Run standalone (also the spark-submit entry point):
+
+    python -m pilsner_spark.plans.corpus_prep --sf-dir /root/testdata/sf0.01 \
+        --workdir /tmp/corpus_prep
+
+Reference anchor: pgolo/pilsner has no corpus operators; this plan is the
+driver brief's training-data mandate composed end-to-end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pilsner_spark.functions.similarity import token_jaccard
+from pilsner_spark.functions.text import lang_id, quality_score, tokens
+from pilsner_spark.operators.dedup import (
+    minhash_bands,
+    minhash_candidate_pairs,
+    neardup_groups,
+)
+from pilsner_spark.operators.packing import deterministic_split, pack_by_budget
+from pilsner_spark.operators.text_filters import decontaminate, repetition_stats
+from pilsner_spark.plans.pipeline import Pipeline
+
+
+def _exact_dup_drops(docs: DataFrame) -> DataFrame:
+    """Non-keeper members of md5-identical text groups. One shuffle on the
+    text hash; the keeper table re-joins on the same key (no second scan
+    of text — the hash projection is reused)."""
+    keyed = docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+    keep = keyed.groupBy("text_md5").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        keyed.join(keep, "text_md5")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", F.lit("exact_dup").alias("reason"), F.col("keep_id").cast("string").alias("detail"))
+    )
+
+
+def _near_dup_drops(
+    docs: DataFrame,
+    num_hashes: int,
+    band_size: int,
+    shingle_n: int,
+    max_bucket_size: int,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """LSH candidates -> Jaccard verification -> transitive groups ->
+    non-canonical members. Verification touches only the candidate pair
+    set (joins it twice against the token projection — O(pairs)); CC runs
+    on the verified edge set, O(duplicates)."""
+    pairs = minhash_candidate_pairs(
+        minhash_bands(docs, num_hashes=num_hashes, band_size=band_size, shingle_n=shingle_n),
+        max_bucket_size=max_bucket_size,
+    )
+    toks = docs.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("ts"))
+    verified = (
+        pairs.join(toks.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a")), "id_a")
+        .join(toks.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b")), "id_b")
+        .withColumn("jaccard", token_jaccard(F.col("ts_a"), F.col("ts_b")))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b")
+    )
+    groups = neardup_groups(verified)
+    return groups.filter(F.col("doc_id") != F.col("canonical_id")).select(
+        "doc_id", F.lit("near_dup").alias("reason"), F.col("canonical_id").cast("string").alias("detail")
+    )
+
+
+def run_corpus_prep(
+    spark: SparkSession,
+    workdir: str,
+    docs: DataFrame,
+    benchmark: Optional[DataFrame] = None,
+    *,
+    minhash_num_hashes: int = 12,
+    minhash_band_size: int = 2,
+    shingle_n: int = 3,
+    max_bucket_size: int = 200,
+    neardup_jaccard: float = 0.7,
+    decontam_n: int = 4,
+    min_tokens: int = 5,
+    min_quality: float = 0.2,
+    max_dup_ngram_frac: float = 0.6,
+    max_top_ngram_frac: float = 0.3,
+    split_weights: Optional[Dict[str, int]] = None,
+    pack_budget: int = 512,
+    split_seed: str = "corpus",
+) -> Dict[str, object]:
+    """Run (or resume) the corpus-prep pipeline. ``docs`` needs (doc_id,
+    text); ``benchmark`` (optional) is the eval set to decontaminate
+    against. Returns {'packed': {split: DataFrame}, 'filtered': DataFrame,
+    'drops': DataFrame, 'metrics': dict, 'pipeline': Pipeline}."""
+    split_weights = split_weights or {"train": 8, "val": 1, "test": 1}
+    params = {
+        "minhash_num_hashes": minhash_num_hashes,
+        "minhash_band_size": minhash_band_size,
+        "shingle_n": shingle_n,
+        "max_bucket_size": max_bucket_size,
+        "neardup_jaccard": neardup_jaccard,
+        "decontam_n": decontam_n,
+        "min_tokens": min_tokens,
+        "min_quality": min_quality,
+        "max_dup_ngram_frac": max_dup_ngram_frac,
+        "max_top_ngram_frac": max_top_ngram_frac,
+        "split_weights": sorted(split_weights.items()),
+        "pack_budget": pack_budget,
+        "split_seed": split_seed,
+        "has_benchmark": benchmark is not None,
+    }
+    pipe = Pipeline(spark, workdir, params)
+    docs = docs.select("doc_id", "text")
+
+    def build_stats() -> DataFrame:
+        base = docs.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).alias("n_tokens"),
+            quality_score(F.col("text")).alias("quality"),
+            lang_id(F.col("text")).alias("lang_pred"),
+        )
+        rep = repetition_stats(docs, n=2)
+        return base.join(rep, "doc_id")
+
+    stats = pipe.stage("doc_stats", build_stats)
+
+    def build_drops() -> DataFrame:
+        out = _exact_dup_drops(docs).unionByName(
+            _near_dup_drops(
+                docs, minhash_num_hashes, minhash_band_size, shingle_n,
+                max_bucket_size, neardup_jaccard,
+            )
+        )
+        if benchmark is not None:
+            contaminated = decontaminate(docs, benchmark.select("doc_id", "text"), n=decontam_n)
+            out = out.unionByName(
+                contaminated.select(
+                    "doc_id", F.lit("contaminated").alias("reason"), F.col("first_hit").alias("detail")
+                )
+            )
+        # one ledger row per (doc, reason); a doc may carry several reasons
+        return out.dropDuplicates(["doc_id", "reason"])
+
+    drops = pipe.stage("drops", build_drops)
+    reason_counts = {r["reason"]: r["n"] for r in drops.groupBy("reason").agg(F.count("*").alias("n")).collect()}
+
+    def build_filtered() -> DataFrame:
+        quality_ok = (
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("quality") >= min_quality)
+            & (F.col("dup_ngram_frac") <= max_dup_ngram_frac)
+            & (F.col("top_ngram_frac") <= max_top_ngram_frac)
+        )
+        return (
+            docs.join(stats, "doc_id")
+            .join(drops.select("doc_id").distinct(), "doc_id", "left_anti")
+            .filter(quality_ok)
+        )
+
+    filtered = pipe.stage("corpus_filtered", build_filtered)
+
+    # assignment only (doc_id, n_tokens, split): the corpus text already
+    # lives in the corpus_filtered checkpoint — re-materializing it here
+    # would double the pipeline's largest write for a 1-column projection
+    splits = pipe.stage(
+        "splits",
+        lambda: deterministic_split(
+            filtered.select("doc_id", "n_tokens"), "doc_id", split_weights, seed=split_seed
+        ),
+    )
+
+    packed: Dict[str, DataFrame] = {}
+    for label in sorted(split_weights):
+        def build_packed(label=label) -> DataFrame:
+            part = splits.filter(F.col("split") == label).select(
+                "doc_id",
+                F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("sk"),
+                F.col("n_tokens"),
+            )
+            return pack_by_budget(part, "sk", "doc_id", "n_tokens", budget=pack_budget)
+
+        packed[label] = pipe.stage(f"packed_{label}", build_packed)
+
+    # doc_stats is row-for-row with the input — its lineage count is the
+    # corpus size for free (no extra count job)
+    n_input = pipe.metrics.get("doc_stats", {}).get("rows")
+    n_filtered = pipe.metrics.get("corpus_filtered", {}).get("rows")
+    pipe.metrics["summary"] = {
+        "n_input_docs": n_input,
+        "drop_reasons": reason_counts,
+        "n_dropped_ledger": sum(reason_counts.values()),
+        "n_retained": n_filtered,
+        "retention_rate": round(n_filtered / n_input, 6) if n_filtered is not None and n_input else None,
+    }
+    return {
+        "packed": packed,
+        "filtered": filtered,
+        "splits": splits,
+        "drops": drops,
+        "metrics": pipe.metrics,
+        "pipeline": pipe,
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    parser.add_argument("--workdir", default="/tmp/corpus_prep")
+    parser.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    parser.add_argument("--pack-budget", type=int, default=512)
+    parser.add_argument("--no-benchmark", action="store_true",
+                        help="skip the decontamination stage")
+    args = parser.parse_args()
+
+    from pilsner_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus)
+    docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+    bench = None if args.no_benchmark else docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs if args.no_benchmark else docs.filter(F.col("doc_id") % 50 != 0)
+    result = run_corpus_prep(spark, args.workdir, corpus, benchmark=bench,
+                             pack_budget=args.pack_budget)
+    out = {"metrics": result["metrics"]}
+    print(json.dumps(out, default=str))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""End-to-end corpus-prep plan (plans/corpus_prep.py): planted corpus
+with one of each removal/filter reason; checkpoint resume parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pilsner_spark.plans.corpus_prep import run_corpus_prep
+
+CLEAN_1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR_1 = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+CONTAM = "alpha beta gamma delta epsilon is a sequence the benchmark also holds"
+BENCH = "unrelated prefix words alpha beta gamma delta epsilon trailing tail words here"
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, CLEAN_1),                                   # keeper
+        (2, CLEAN_1),                                   # exact dup of 1
+        (3, NEAR_1),                                    # near dup of 1
+        (4, CONTAM),                                    # shares a 4-gram with BENCH
+        (5, "!!!! #### $$$$ %%%% ^^^^ &&&& ****"),      # quality floor
+        (6, "tiny doc"),                                # min_tokens floor
+        (7, "spam ham spam ham spam ham spam ham spam ham"),  # repetition cap
+        (8, "a completely different document about the weather and the sea is here"),
+        (9, "numbers and words mix in this other document about trains and the coast"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_corpus_prep_reasons_and_retention(spark, corpus, tmp_path):
+    bench = spark.createDataFrame([(100, BENCH)], ["doc_id", "text"])
+    res = run_corpus_prep(spark, str(tmp_path / "wd"), corpus, benchmark=bench)
+
+    drops = {(r.doc_id, r.reason) for r in res["drops"].collect()}
+    assert (2, "exact_dup") in drops
+    # doc 2's identical text also minhash-matches doc 1, so the ledger
+    # carries BOTH reasons for it — one row per (doc, reason) by design
+    assert (2, "near_dup") in drops
+    assert (3, "near_dup") in drops
+    assert (4, "contaminated") in drops
+    assert {d for d, _ in drops} == {2, 3, 4}  # 5/6/7 are filters, not ledger drops
+
+    retained = {r.doc_id for r in res["filtered"].collect()}
+    assert retained == {1, 8, 9}
+
+    summary = res["metrics"]["summary"]
+    assert summary["n_input_docs"] == 9
+    assert summary["drop_reasons"] == {"exact_dup": 1, "near_dup": 2, "contaminated": 1}
+    assert summary["n_retained"] == 3
+    assert summary["retention_rate"] == pytest.approx(3 / 9, abs=1e-6)
+
+    # every retained doc has a split; packing respects the budget math
+    splits = {r.doc_id: r.split for r in res["splits"].collect()}
+    assert set(splits) == retained
+    for label, df in res["packed"].items():
+        for r in df.collect():
+            assert 0 <= r.offset_in_bin < 512
+            assert r.bin_id >= 0
+
+
+def test_corpus_prep_resumes_from_checkpoints(spark, corpus, tmp_path):
+    bench = spark.createDataFrame([(100, BENCH)], ["doc_id", "text"])
+    wd = str(tmp_path / "wd")
+    first = run_corpus_prep(spark, wd, corpus, benchmark=bench)
+    second = run_corpus_prep(spark, wd, corpus, benchmark=bench)
+    for name in ["doc_stats", "drops", "corpus_filtered", "splits", "packed_train"]:
+        assert second["metrics"][name]["resumed"] is True, name
+    assert {r.doc_id for r in second["filtered"].collect()} == {
+        r.doc_id for r in first["filtered"].collect()
+    }
+    # changed params -> stale checkpoint is NOT reused
+    third = run_corpus_prep(spark, wd, corpus, benchmark=bench, pack_budget=256)
+    assert third["metrics"]["packed_train"]["resumed"] is False

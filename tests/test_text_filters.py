@@ -1,0 +1,87 @@
+"""Corpus-hygiene operators: decontamination, repetition stats, PII
+redaction (operators/text_filters.py) — hand-computed goldens."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pilsner_spark.operators.text_filters import (
+    decontaminate,
+    ngram_array,
+    redact_pii,
+    repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ngram_array_windows_and_short_docs(spark):
+    out = spark.range(1).select(
+        ngram_array(F.lit("a b c d"), 3).alias("g3"),
+        ngram_array(F.lit("a b"), 3).alias("short"),
+    ).first()
+    assert out.g3 == ["a b c", "b c d"]
+    assert out.short == []
+
+
+def test_decontaminate_flags_shared_ngrams_only(spark):
+    """Doc 1 shares the 3-gram 'x y z' with the benchmark twice (counted
+    once — distinct grams), doc 2 shares nothing, doc 3 shares two
+    DIFFERENT grams; first_hit is the lexicographic min."""
+    bench = _docs(spark, [(100, "p q x y z r s t")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "a x y z b x y z"),
+            (2, "totally clean words here"),
+            (3, "q x y z r s"),  # grams 'q x y', 'x y z', 'y z r', 'z r s' — 4 hits
+        ],
+    )
+    got = {r.doc_id: (r.n_hits, r.first_hit) for r in decontaminate(corpus, bench, n=3).collect()}
+    assert got == {1: (1, "x y z"), 3: (4, "q x y")}
+
+
+def test_repetition_stats_hand_computed(spark):
+    """'a b a b a' 2-grams: [a b, b a, a b, b a] -> total 4, distinct 2,
+    top 2: dup = 0.5, top = 0.5. 'a b c' -> 2 distinct 2-grams: dup 0,
+    top 1/2. A 1-token doc is short -> explicit zeros (total coverage)."""
+    docs = _docs(spark, [(1, "a b a b a"), (2, "a b c"), (3, "solo")])
+    got = {r.doc_id: (r.dup_ngram_frac, r.top_ngram_frac) for r in repetition_stats(docs, n=2).collect()}
+    assert got[1] == (0.5, 0.5)
+    assert got[2] == (0.0, 0.5)
+    assert got[3] == (0.0, 0.0)
+
+
+def test_redact_pii_counts_and_ordering(spark):
+    """Email digits must be consumed by the email pass (not half-eaten by
+    the digit-run pass); IPv4 and 9+-digit runs each redact with their own
+    tag; clean text passes through byte-identical."""
+    docs = _docs(
+        spark,
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "node 192.168.001.250 port"),
+            (3, "acct 987654321012 end"),
+            (4, "clean text stays clean"),
+            (5, "combo a@b.co 10.0.0.1 123456789"),
+        ],
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert got[1].redacted == "mail <PII:email> now"
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_long_digits) == (1, 0, 0)
+    assert got[2].redacted == "node <PII:ipv4> port"
+    assert got[3].redacted == "acct <PII:long_digits> end"
+    assert got[4].redacted == "clean text stays clean"
+    assert got[5].redacted == "combo <PII:email> <PII:ipv4> <PII:long_digits>"
+    assert (got[5].n_email, got[5].n_ipv4, got[5].n_long_digits) == (1, 1, 1)
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    """Scale shape: the benchmark gram set is broadcast; the corpus side
+    reaches the join without an exchange of its own grams."""
+    bench = _docs(spark, [(100, "x y z w v")])
+    corpus = _docs(spark, [(1, "a x y z w b")])
+    plan = decontaminate(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

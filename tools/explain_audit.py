@@ -163,6 +163,20 @@ CHECKS = {
             ("no Python nodes", r"EvalPython|MapInPandas"),
         ],
     },
+    # decontamination: benchmark gram set broadcast onto the corpus grams —
+    # corpus text crosses no exchange before the join; the only shuffle is
+    # the final per-doc rollup (partial-agg'd), and nothing runs in Python
+    "decontaminate_ngrams": {
+        "want": [
+            ("benchmark grams broadcast", r"BroadcastHashJoin"),
+            ("partial aggregation before the doc rollup", r"HashAggregate"),
+            ("whole-stage codegen (or AQE runtime-compiled)", r"codegen id|AdaptiveSparkPlan"),
+        ],
+        "avoid": [
+            ("no sort-merge join", r"SortMergeJoin"),
+            ("no Python nodes", r"EvalPython|MapInPandas"),
+        ],
+    },
     # stage 2 = JW/Lev on the undecided slice, filter pushed into the scan
     "er_jw_slice": {
         "want": [
