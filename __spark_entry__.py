@@ -749,6 +749,39 @@ def q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Cross-snapshot dedup (the per-ingest-batch shape): docs >= 250 are
+    the new batch — plus three planted exact copies of old docs (ids
+    +10000) since the synthetic corpus has no natural cross-snapshot
+    byte-dups — deduped against the old corpus (docs < 250) without ever
+    pairing old-vs-old. Exact = md5 equi-join; near = MinHash band join
+    against capped old buckets, verified at token Jaccard >= 0.8."""
+    from pilsner_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") >= 250)
+        .select("doc_id", "text")
+        .unionByName(
+            old.filter(F.col("doc_id") % 100 == 0).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return incremental_dedup(new, old, num_hashes=6, band_size=2, jaccard_threshold=0.8)
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al. 2021, window-hash form):
+    5-token windows occurring in >1 document are stripped from every doc
+    except the minimum-doc_id canonical holder; per-doc removed-token
+    counts + cleaned text."""
+    from pilsner_spark.operators.text_filters import substring_dedup
+
+    return substring_dedup(_t(spark, sf_dir, "documents"), n=5)
+
+
 def q_decontaminate_ngrams(spark, sf_dir):
     """Benchmark decontamination (GPT-3-style n-gram overlap): every 50th
     document stands in for the eval suite; training docs sharing any word
@@ -929,6 +962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality_langid": q_text_quality_langid,
         "text_fingerprint": q_text_fingerprint,
+        "dedup_incremental": q_dedup_incremental,
+        "substring_dedup": q_substring_dedup,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         "quality_repetition": q_quality_repetition,
         "pii_redaction": q_pii_redaction,
@@ -1429,6 +1464,45 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_fingerprint": (
             "select doc_id, md5(array_to_string(list_sort(list_distinct(list_filter(string_split(lower(text), ' '), x -> x != ''))), ' ')) as fingerprint from documents"
+        ),
+        "dedup_incremental": (
+            "with olddocs as (select doc_id, text from documents where doc_id < 250), "
+            "newdocs as (select doc_id, text from documents where doc_id >= 250 "
+            "  union all select doc_id + 10000 as doc_id, text from documents where doc_id < 250 and doc_id % 100 = 0), "
+            "alldocs as (select doc_id, text from olddocs union all select doc_id, text from newdocs), "
+            "toks as (select doc_id, list_filter(string_split(text, ' '), x -> x != '') as ts from alldocs), "
+            "sh as (select doc_id, case when len(ts) <= 3 then [array_to_string(ts, ' ')] "
+            "  else list_distinct([array_to_string(ts[i:i+2], ' ') for i in generate_series(1, len(ts)-2)]) end as shs from toks), "
+            "sig as (select doc_id, [list_min([cast(concat('0x', substr(md5(concat(s, '#7#', cast(h as varchar))), 1, 15)) as bigint) for s in shs]) "
+            "  for h in [0,1,2,3,4,5]] as sg from sh), "
+            "bands as (select doc_id, unnest([ "
+            "  concat_ws('#', '0', cast(sg[1] as varchar), cast(sg[2] as varchar)), "
+            "  concat_ws('#', '1', cast(sg[3] as varchar), cast(sg[4] as varchar)), "
+            "  concat_ws('#', '2', cast(sg[5] as varchar), cast(sg[6] as varchar))]) as band_key from sig), "
+            "ex as (select n.doc_id, min(o.doc_id) as matched_id from newdocs n join olddocs o on md5(n.text) = md5(o.text) group by n.doc_id), "
+            "ob as (select band_key, list(distinct b.doc_id) as ids from bands b join olddocs o on b.doc_id = o.doc_id group by band_key having count(distinct b.doc_id) <= 200), "
+            "cand as (select distinct b.doc_id, unnest(ob.ids) as old_id from bands b join newdocs n on b.doc_id = n.doc_id join ob using (band_key)), "
+            "tokset as (select doc_id, list_distinct(ts) as ts from toks), "
+            "ver as (select c.doc_id, c.old_id from cand c join tokset a on a.doc_id = c.doc_id join tokset b on b.doc_id = c.old_id "
+            "  where cast(len(list_filter(a.ts, x -> list_contains(b.ts, x))) as double) / "
+            "  (len(a.ts) + len(b.ts) - len(list_filter(a.ts, x -> list_contains(b.ts, x)))) >= 0.8), "
+            "nr as (select doc_id, min(old_id) as matched_id from ver where doc_id not in (select doc_id from ex) group by doc_id) "
+            "select doc_id, matched_id, 'exact' as reason from ex "
+            "union all select doc_id, matched_id, 'near_dup' as reason from nr"
+        ),
+        "substring_dedup": (
+            "with toks as (select doc_id, list_filter(string_split(text, ' '), x -> x != '') as ts from documents), "
+            "w0 as (select doc_id, unnest([{'pos': i, 'wh': md5(array_to_string(ts[i:i+4], ' '))} "
+            "  for i in generate_series(1, len(ts)-4)]) as s from toks where len(ts) >= 5), "
+            "wins as (select doc_id, s.pos as pos, s.wh as wh from w0), "
+            "dup as (select wh, min(doc_id) as canon_doc from wins group by wh having count(distinct doc_id) > 1), "
+            "covered as (select w.doc_id, list_sort(list(distinct w.pos)) as starts "
+            "  from wins w join dup d using (wh) where w.doc_id != d.canon_doc group by w.doc_id), "
+            "base as (select t.doc_id, t.ts, coalesce(c.starts, []) as starts from toks t left join covered c on t.doc_id = c.doc_id), "
+            "k as (select doc_id, ts, len(ts) as n_tokens, "
+            "  [i for i in generate_series(1, len(ts)) if len(list_filter(starts, s -> s <= i and i < s + 5)) = 0] as keep from base) "
+            "select doc_id, n_tokens, n_tokens - len(keep) as n_removed, "
+            "array_to_string([ts[i] for i in keep], ' ') as cleaned_text from k"
         ),
         "decontaminate_ngrams": (
             "with toks as (select doc_id, list_filter(string_split(text, ' '), x -> x != '') as ts from documents), "

@@ -36,6 +36,7 @@ HEADLINE = [
     "text_tfidf",
     "decontaminate_ngrams",
     "quality_repetition",
+    "substring_dedup",
     "pack_token_budget",
     "agg_pricing_summary",
     "join_revenue_by_nation",

@@ -380,6 +380,81 @@ def embedding_neardup_pairs(
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    seed: int = 7,
+    max_bucket_size: int = 200,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-snapshot dedup: flag NEW documents that duplicate (exactly or
+    nearly) an EXISTING corpus, without ever pairing old-vs-old — the shape
+    an append-only 100 TB corpus actually needs per ingest batch (re-running
+    all-pairs dedup over corpus+batch is O((N+b)^2); this is O(b x collisions)).
+
+    Returns one row per flagged new doc: (doc_id, matched_id, reason) with
+    reason 'exact' (byte-identical text; matched_id = min matching old id)
+    or 'near_dup' (shares a MinHash band with an old doc AND clears token
+    Jaccard >= ``jaccard_threshold``; exact-flagged docs are excluded so
+    each doc carries its strongest reason). Unflagged new docs are absent —
+    an anti-join of the batch against this result is the insert set.
+
+    Physical shape: exact is one hash-key equi-join (shuffle on md5, AQE
+    broadcasts a small batch side). Near-dup groups OLD band rows into
+    capped buckets once — at scale this table is precomputed and persisted
+    per corpus, bucketed by band_key, so each ingest joins against it
+    without rescanning old text — then the batch's bands join on band_key
+    and verification touches only candidate pairs. Nothing enumerates
+    old-old pairs anywhere. Oversized old buckets (> ``max_bucket_size``)
+    are dropped from candidates, same documented recall trade-off and same
+    cap as minhash_candidate_pairs — surface oversized_band_report on the
+    old corpus alongside (no silent truncation)."""
+    from pilsner_spark.functions.similarity import token_jaccard
+
+    new_k = new_docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("k"))
+    old_k = old_docs.select(F.col(id_col).alias("old_id"), F.md5(F.col(text_col)).alias("k"))
+    exact = (
+        new_k.join(old_k, "k")
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("matched_id"))
+        .withColumn("reason", F.lit("exact"))
+    )
+
+    bands_new = minhash_bands(new_docs, id_col, text_col, num_hashes, band_size, shingle_n, seed)
+    bands_old = minhash_bands(old_docs, id_col, text_col, num_hashes, band_size, shingle_n, seed)
+    old_buckets = (
+        bands_old.groupBy("band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= max_bucket_size)
+    )
+    cand = (
+        bands_new.join(old_buckets, "band_key")
+        .select("doc_id", F.explode("ids").alias("old_id"))
+        .distinct()
+    )
+    toks_new = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.array_distinct(tokens(F.col(text_col))).alias("ts_n")
+    )
+    toks_old = old_docs.select(
+        F.col(id_col).alias("old_id"), F.array_distinct(tokens(F.col(text_col))).alias("ts_o")
+    )
+    near = (
+        cand.join(toks_new, "doc_id")
+        .join(toks_old, "old_id")
+        .filter(token_jaccard(F.col("ts_n"), F.col("ts_o")) >= jaccard_threshold)
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("matched_id"))
+        .withColumn("reason", F.lit("near_dup"))
+        .join(exact.select("doc_id"), "doc_id", "left_anti")
+    )
+    return exact.unionByName(near)
+
+
 def neardup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """The dedup DECISION: near-dup group membership from candidate pairs.
 

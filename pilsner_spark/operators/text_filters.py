@@ -46,6 +46,7 @@ __all__ = [
     "doc_ngrams",
     "decontaminate",
     "repetition_stats",
+    "substring_dedup",
     "PII_PATTERNS",
     "redact_pii",
 ]
@@ -153,6 +154,83 @@ def repetition_stats(
     )
     return out.unionByName(
         short.select("doc_id", F.lit(0.0).alias("dup_ngram_frac"), F.lit(0.0).alias("top_ngram_frac"))
+    )
+
+
+def substring_dedup(
+    docs: DataFrame, n: int = 10, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Substring-level exact dedup (the Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better" recipe, window-hash form):
+    find every length-``n`` token window occurring in more than one
+    document, keep ONE canonical copy (the occurrence in the minimum
+    doc_id holding that window), and strip the covered tokens from every
+    other document — whole-doc and near-dup dedup both miss this shape
+    (boilerplate headers, quoted passages, license blocks pasted into
+    otherwise-unique documents).
+
+    Returns one row per input document: (doc_id, n_tokens, n_removed,
+    cleaned_text) where cleaned_text drops exactly the tokens covered by
+    some non-canonical duplicated window (overlapping windows merge
+    naturally — a token survives iff no such window covers it).
+
+    Physical shape: two shuffles, both hash aggregations with map-side
+    partial — (1) groupBy window md5 for (n_docs, min_doc); (2) groupBy
+    doc_id collecting the (bounded-by-doc-length) covered window starts —
+    plus one shuffle join of window occurrences against the duplicate
+    window table. The window table is O(total tokens) rows but only
+    (hash, pos) wide; full text crosses nothing. The suffix-array original
+    is inherently sequential; the fixed-window-hash form is the
+    embarrassingly-parallel equivalent used at corpus scale.
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("ts"))
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("ts") < n, F.array().cast("array<struct<pos:int,wh:string>>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+                    lambda i: F.struct(
+                        i.cast("int").alias("pos"),
+                        F.md5(F.array_join(F.slice(F.col("ts"), i, n), " ")).alias("wh"),
+                    ),
+                )
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("n_docs"), F.min("doc_id").alias("canon_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+    covered = (
+        wins.join(dup, "wh")
+        .filter(F.col("doc_id") != F.col("canon_doc"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("starts"))
+    )
+    cleaned = base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.size("ts").alias("n_tokens"),
+        F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias("starts"),
+        "ts",
+    )
+    # sequence(1, 0) DESCENDS in Spark — guard the empty-doc case explicitly
+    positions = F.when(F.size("ts") == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), F.size("ts")).cast("array<int>")
+    )
+    keep = F.filter(
+        positions,
+        lambda i: ~F.exists(F.col("starts"), lambda s: (s <= i) & (i < s + n)),
+    )
+    return cleaned.select(
+        "doc_id",
+        "n_tokens",
+        (F.size("ts") - F.size(keep)).alias("n_removed"),
+        F.array_join(F.transform(keep, lambda i: F.element_at(F.col("ts"), i)), " ").alias(
+            "cleaned_text"
+        ),
     )
 
 

@@ -289,6 +289,44 @@ def incremental_cluster_assignments(
     return writer.start()
 
 
+def streaming_decontaminate(
+    stream_df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming benchmark decontamination: flag arriving documents that
+    share any word n-gram with a STATIC benchmark/eval set — the ingest-time
+    twin of operators/text_filters.decontaminate, as a stream-static join
+    (Spark's canonical shape for joining a stream against a fixed table:
+    the static side is re-broadcast per micro-batch, no state store).
+
+    Per-batch cost is O(batch n-grams): the stream side explodes its
+    n-grams JVM-side, the tiny distinct benchmark gram set broadcasts onto
+    them, and the rollup groups only the batch's matches. Emits one row
+    per contaminated document per micro-batch: (id, n_hits, first_hit);
+    clean documents pass nothing (filter semantics — anti-join the batch
+    against this to keep the clean side)."""
+    from pilsner_spark.operators.text_filters import doc_ngrams, ngram_array
+
+    bench_grams = doc_ngrams(benchmark, n, id_col, text_col).select("gram").distinct()
+    stream_grams = stream_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngram_array(F.col(text_col), n)).alias("gram"),
+    )
+    # countDistinct is rejected on streaming aggregates; size(collect_set)
+    # is the same number and streaming-legal (matched grams per doc are few)
+    return (
+        stream_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.size(F.collect_set("gram")).alias("n_hits"),
+            F.min("gram").alias("first_hit"),
+        )
+    )
+
+
 def streaming_exact_dedup(
     stream_df: DataFrame,
     text_col: str = "text",

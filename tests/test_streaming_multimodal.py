@@ -47,6 +47,47 @@ def test_streaming_mentions_availablenow(spark, model, tmp_path):
     assert got == expected and got > 0
 
 
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Stream-static decontamination: a parquet doc stream joined against a
+    static benchmark flags exactly what the batch operator flags (pinned
+    row-for-row), via a broadcast join — no state store."""
+    from pilsner_spark.operators.text_filters import decontaminate
+    from pilsner_spark.streaming.mentions_stream import streaming_decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon words"),
+            (2, "clean document with other content"),
+            (3, "prefix alpha beta gamma delta suffix"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "xx alpha beta gamma delta epsilon yy")], ["doc_id", "text"]
+    )
+    src = str(tmp_path / "decon_in")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        streaming_decontaminate(stream, bench, n=4)
+        .writeStream.format("memory")
+        .queryName("decon_stream")
+        .outputMode("update")  # aggregate without watermark: update mode
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_hits, r.first_hit)
+        for r in spark.sql("select * from decon_stream").collect()
+    }
+    expected = {
+        r.doc_id: (r.n_hits, r.first_hit) for r in decontaminate(docs, bench, n=4).collect()
+    }
+    assert got == expected
+    assert set(got) == {1, 3}
+
+
 def test_streaming_windowed_counts(spark, model, tmp_path):
     src = str(tmp_path / "stream_in2")
     batch = synth_transcripts(spark, n_convs=20, seed=7)

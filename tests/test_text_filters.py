@@ -77,6 +77,64 @@ def test_redact_pii_counts_and_ordering(spark):
     assert (got[5].n_email, got[5].n_ipv4, got[5].n_long_digits) == (1, 1, 1)
 
 
+def test_substring_dedup_strips_noncanonical_windows(spark):
+    """A 3-token window shared by docs 1/2/3 survives only in the canonical
+    (minimum) doc; overlapping duplicated windows merge; unique text and
+    short/empty docs pass through untouched."""
+    from pilsner_spark.operators.text_filters import substring_dedup
+
+    docs = _docs(
+        spark,
+        [
+            (1, "intro words x y z closing remarks"),
+            (2, "different start x y z different end"),
+            (3, "x y z w q"),  # windows 'x y z' and 'y z w' and 'z w q'
+            (4, "totally unique content lives here"),
+            (5, "a b"),  # shorter than n: no windows
+            (6, ""),
+        ],
+    )
+    got = {r.doc_id: r for r in substring_dedup(docs, n=3).collect()}
+    # doc 1 is canonical for 'x y z': nothing removed
+    assert got[1].n_removed == 0 and got[1].cleaned_text == "intro words x y z closing remarks"
+    # doc 2 loses exactly the 3 covered tokens
+    assert got[2].n_removed == 3
+    assert got[2].cleaned_text == "different start different end"
+    # doc 3: only window 'x y z' (pos 1) is duplicated -> tokens 1..3 go
+    assert got[3].n_removed == 3 and got[3].cleaned_text == "w q"
+    assert got[4].n_removed == 0 and got[4].cleaned_text == "totally unique content lives here"
+    assert got[5].n_removed == 0 and got[5].cleaned_text == "a b"
+    assert got[6].n_removed == 0 and got[6].cleaned_text == ""
+
+
+def test_incremental_dedup_cross_snapshot_only(spark):
+    """Cross-snapshot dedup: an exact copy flags 'exact' (and is excluded
+    from near_dup — strongest reason wins), a near-copy flags 'near_dup',
+    unrelated text is absent; old-vs-old pairs are never emitted."""
+    from pilsner_spark.operators.dedup import incremental_dedup
+
+    old = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # old near-dup of 1: must NOT appear
+        ],
+    )
+    new = _docs(
+        spark,
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),   # exact copy of 1
+            (11, "the quick brown fox jumps over the lazy wolf"),  # near-dup
+            (12, "completely unrelated words appear in this one"),
+        ],
+    )
+    got = {r.doc_id: (r.matched_id, r.reason) for r in
+           incremental_dedup(new, old, jaccard_threshold=0.7).collect()}
+    assert got[10] == (1, "exact")
+    assert got[11][1] == "near_dup" and got[11][0] in (1, 2)
+    assert set(got) == {10, 11}
+
+
 def test_decontaminate_plan_broadcasts_benchmark(spark):
     """Scale shape: the benchmark gram set is broadcast; the corpus side
     reaches the join without an exchange of its own grams."""
