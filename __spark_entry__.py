@@ -717,6 +717,28 @@ def q_pack_token_budget(spark, sf_dir):
     )
 
 
+def q_mix_domains(spark, sf_dir):
+    """Domain mixing to target token proportions (the data-mixing stage of
+    a pretraining-corpus build): each language contributes ~its weight
+    share (en 4 : de 2 : fr 2 : es 1 : zh 1) of a 20k-token budget,
+    documents chosen in deterministic md5 order; the per-domain running
+    token total uses the bucketed two-level prefix sum (no per-domain
+    single-task window) plus a hash-quantile pre-filter on over-budget
+    domains."""
+    from pilsner_spark.operators.packing import mix_to_proportions
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).alias("n_tok"),
+    )
+    return mix_to_proportions(
+        docs, "lang", "doc_id", "n_tok", {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1}, 20000
+    ).select(
+        F.col("id").alias("doc_id"), F.col("domain").alias("lang"), "n_tokens", "cum_excl"
+    )
+
+
 def q_text_stats(spark, sf_dir):
     from pilsner_spark.functions import text as TX
 
@@ -959,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "split_assign": q_split_assign,
         "pack_token_budget": q_pack_token_budget,
+        "mix_domains": q_mix_domains,
         "text_stats": q_text_stats,
         "text_quality_langid": q_text_quality_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -1443,6 +1466,15 @@ def oracle_sql() -> dict[str, str]:
             "(order by sk, doc_id rows between unbounded preceding and 1 preceding), 0) as cum_excl from t) "
             "select doc_id, n_tokens, cast(floor(cum_excl / 512) as bigint) as bin_id, "
             "cast(cum_excl - cast(floor(cum_excl / 512) as bigint) * 512 as bigint) as offset_in_bin from c"
+        ),
+        "mix_domains": (
+            "with w(lang, budget) as (values ('de', 4000), ('en', 8000), ('es', 2000), ('fr', 4000), ('zh', 2000)), "
+            "t as (select doc_id, lang, len(list_filter(string_split(text, ' '), x -> x != '')) as n_tokens, "
+            "md5(concat('mix', '#', cast(doc_id as varchar))) as h from documents), "
+            "r as (select t.doc_id, t.lang, t.n_tokens, w.budget, "
+            "coalesce(sum(t.n_tokens) over (partition by t.lang order by h, t.doc_id "
+            "rows between unbounded preceding and 1 preceding), 0) as cum_excl from t join w using (lang)) "
+            "select doc_id, lang, n_tokens, cast(cum_excl as bigint) as cum_excl from r where cum_excl < budget"
         ),
         "text_stats": (
             "with t as (select doc_id, text, list_filter(string_split(text, ' '), x -> x != '') as ts from documents) "

@@ -37,7 +37,9 @@ HEADLINE = [
     "decontaminate_ngrams",
     "quality_repetition",
     "substring_dedup",
+    "dedup_incremental",
     "pack_token_budget",
+    "mix_domains",
     "agg_pricing_summary",
     "join_revenue_by_nation",
     "window_top_orders",

@@ -161,6 +161,94 @@ def global_running_totals(
     )
 
 
+def mix_to_proportions(
+    records: DataFrame,
+    domain_col: str,
+    id_col: str,
+    tokens_col: str,
+    weights: dict,
+    total_budget: int,
+    seed: str = "mix",
+    hash_prefix_len: int = 2,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Domain mixing: deterministically select documents so each domain
+    contributes ~its target share of a ``total_budget`` token mass — the
+    data-mixing step of a pretraining-corpus build (fix the web/code/
+    reference-text ratio BEFORE packing, don't hope the crawl had it).
+
+    ``weights`` maps domain value -> relative weight; domain d's budget is
+    ``total_budget * w_d / sum(w)`` tokens. Within each domain, documents
+    are ordered by the md5 of (seed, id) — a reproducible shuffle, same
+    device as ``stratified_sample`` — and a document is selected iff the
+    EXCLUSIVE running token total of earlier documents is still under the
+    domain budget (offset-packing semantics: the straddling document is
+    kept, overflow bounded by one document per domain). Domains absent
+    from ``weights`` are dropped; a domain with fewer tokens than its
+    budget is kept whole (the mix is then token-starved for that domain —
+    visible because its returned token mass < budget, never padded).
+
+    Returns (id, domain, n_tokens, cum_excl) for selected documents.
+    Deterministic: same weights + seed + corpus -> same selection,
+    regardless of partitioning — re-runs and engine swaps reproduce it.
+
+    Scale shape: NO per-domain single-task window. The running total uses
+    the (domain, hash-prefix) two-level construction — the md5 sort key is
+    uniform by construction, so a fixed ``hash_prefix_len`` of 2 gives 256
+    evenly-loaded buckets per domain (no adaptive scan needed, unlike
+    user-supplied sort keys). A hash-quantile pre-filter caps window input
+    at ~``oversample`` x the winning fraction of each over-budget domain,
+    same monotone-prefix-cut argument as ``stratified_sample`` (any cut
+    retaining >= budget tokens retains exactly the true winner set; the
+    expected winner token share is budget/domain_total, so 4x slack makes
+    an under-cut a <1e-12 tail even before the straddle slack)."""
+    total_w = float(sum(weights.values()))
+    rows = [(d, int(total_budget * w / total_w)) for d, w in sorted(weights.items())]
+    spark = records.sparkSession
+    budgets = spark.createDataFrame(rows, ["domain", "budget"])
+    h_str = F.md5(F.concat_ws("#", F.lit(seed), F.col(id_col).cast("string")))
+    base = records.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        F.col(tokens_col).cast("long").alias("v"),
+        h_str.alias("sk"),
+    ).join(F.broadcast(budgets), "domain")
+
+    space = float(16**13)
+    dtot = base.groupBy("domain").agg(F.sum("v").alias("_dtot"), F.first("budget").alias("_b"))
+    thr = F.when(F.col("_dtot") <= F.col("_b"), F.lit(int(space))).otherwise(
+        F.least(
+            F.lit(space),
+            F.lit(space) * F.lit(oversample) * F.col("_b") / F.col("_dtot"),
+        ).cast("long")
+    )
+    pre = (
+        base.join(F.broadcast(dtot.select("domain", thr.alias("_thr"))), "domain")
+        .filter(F.conv(F.substring("sk", 1, 13), 16, 10).cast("long") <= F.col("_thr"))
+        .drop("_thr")
+    )
+
+    bucketed = pre.withColumn("bk", F.substring("sk", 1, hash_prefix_len))
+    sums = bucketed.groupBy("domain", "bk").agg(F.sum("v").alias("bsum"))
+    run = (
+        Window.partitionBy("domain").orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        "domain", "bk", F.coalesce(F.sum("bsum").over(run), F.lit(0)).alias("off")
+    )
+    in_bucket = (
+        Window.partitionBy("domain", "bk")
+        .orderBy("sk", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), ["domain", "bk"])
+        .withColumn("cum_excl", F.col("off") + F.coalesce(F.sum("v").over(in_bucket), F.lit(0)))
+        .filter(F.col("cum_excl") < F.col("budget"))
+        .select("id", "domain", F.col("v").alias("n_tokens"), "cum_excl")
+    )
+
+
 def pack_by_budget(
     records: DataFrame,
     sort_col: str,

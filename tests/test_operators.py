@@ -436,6 +436,48 @@ def test_deterministic_split_stability_and_coverage(spark):
     assert 0.7 < c["train"] / 600 < 0.9
 
 
+def test_mix_to_proportions_semantics(spark):
+    """Domain mixing: per-domain token mass lands within one straddling
+    document of the weight-derived budget; a token-starved domain is kept
+    whole (never padded); unlisted domains are dropped; the selection is
+    deterministic and partitioning-independent."""
+    from pilsner_spark.operators.packing import mix_to_proportions
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("code"), F.lit("tiny"), F.lit("unlisted")),
+            (F.pmod("id", 4) + 1).cast("int"),
+        ).alias("domain"),
+        (F.pmod("id", 7) + 5).cast("long").alias("n_tok"),
+    )
+    # each domain holds 100 docs x ~8 tokens ~= 800 tokens: at a 2000-token
+    # total, web (600) and code (400) are over-budget, tiny (1000) starved
+    weights = {"web": 3, "code": 2, "tiny": 5}
+    got = mix_to_proportions(df, "domain", "doc_id", "n_tok", weights, 2000).collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r.domain, []).append(r)
+    assert set(by_dom) == {"web", "code", "tiny"}  # 'unlisted' dropped
+    budgets = {"web": 600, "code": 400, "tiny": 1000}
+    max_doc_tokens = 11
+    for dom in ("web", "code"):
+        tok = sum(r.n_tokens for r in by_dom[dom])
+        assert budgets[dom] <= tok < budgets[dom] + max_doc_tokens, (dom, tok)
+        # every selected doc's exclusive prefix is under budget
+        assert all(r.cum_excl < budgets[dom] for r in by_dom[dom])
+    # token-starved domain: all 100 docs kept, mass below budget
+    assert len(by_dom["tiny"]) == 100
+    assert sum(r.n_tokens for r in by_dom["tiny"]) < budgets["tiny"]
+
+    again = mix_to_proportions(
+        df.repartition(13), "domain", "doc_id", "n_tok", weights, 2000
+    ).collect()
+    assert sorted((r.id, r.cum_excl) for r in again) == sorted(
+        (r.id, r.cum_excl) for r in got
+    )
+
+
 def test_stratified_sample_exact_k_and_determinism(spark):
     """Exactly k rows per stratum (or all rows for smaller strata), and the
     same seed reproduces the same sample while a different seed differs."""
