@@ -848,6 +848,51 @@ def q_pii_redaction(spark, sf_dir):
     return redact_pii(docs)
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space
+    (deterministic sample centroids — oracle-exact), call within-cluster
+    pairs with cosine >= 0.4 semantic duplicates, keep the group member
+    FARTHEST from its centroid (the paper's keep-rule: shed redundancy,
+    retain diversity). One row per grouped doc with the keep decision."""
+    from pilsner_spark.operators.dedup import semdedup
+
+    return semdedup(_t(spark, sf_dir, "embeddings"), threshold=0.4, n_cells=16)
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): the corpus
+    is deterministically re-punctuated in-query (' table '/' line ' ->
+    sentence break) so the line heuristics have real line structure to act
+    on; lines must carry >= 3 words and end in terminal punctuation,
+    'vector' lines and 'big data' documents are blocklisted (the synthetic
+    vocabulary's stand-ins for C4's javascript / lorem-ipsum rules)."""
+    from pilsner_spark.operators.text_filters import c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " (table|line) ", ".\n").alias("text")
+    )
+    return c4_line_filter(
+        docs,
+        min_words_per_line=3,
+        require_terminal_punct=True,
+        line_blocklist=("vector",),
+        doc_blocklist=("big data",),
+        min_lines_kept=2,
+    )
+
+
+def q_importance_weights(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023): importance log-weights
+    for every document against a target distribution (source 'src0' stands
+    in for the curated target domain), hashed-unigram features over 64
+    buckets, add-1 smoothing. Both distributions broadcast; per-gram
+    log-ratios summed in integer micro-units (order-independent)."""
+    from pilsner_spark.operators.text_filters import importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return importance_weights(docs, docs.filter(F.col("source") == "src0"), n_buckets=64)
+
+
 def q_multimodal_metadata(spark, sf_dir):
     """Opaque binary column plumbing: treat text bytes as a blob, extract
     typed metadata (size, header hex) — the schema/partitioning pattern for
@@ -990,6 +1035,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngrams": q_decontaminate_ngrams,
         "quality_repetition": q_quality_repetition,
         "pii_redaction": q_pii_redaction,
+        "dedup_semantic": q_dedup_semantic,
+        "c4_line_filter": q_c4_line_filter,
+        "importance_weights": q_importance_weights,
         "multimodal_metadata": q_multimodal_metadata,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -1567,6 +1615,53 @@ def oracle_sql() -> dict[str, str]:
             "t3 as (select doc_id, n_email, n_ipv4, len(regexp_extract_all(r, '[0-9]{9,}')) as n_long_digits, "
             "  regexp_replace(r, '[0-9]{9,}', '<PII:long_digits>', 'g') as redacted from t2) "
             "select doc_id, redacted, n_email, n_ipv4, n_long_digits from t3"
+        ),
+        "dedup_semantic": (
+            "with recursive v as (select vec_id, cast(embedding as double[]) as emb from embeddings), "
+            "centroids as (select vec_id as cell, emb as c_vec from v order by vec_id limit 16), "
+            "assign as (select vec_id, cell from (select t.vec_id, c.cell, "
+            "  row_number() over (partition by t.vec_id order by round(list_cosine_similarity(c.c_vec, t.emb), 6) desc, c.cell asc) as r "
+            "  from v t, centroids c) where r = 1), "
+            "acos as (select a.vec_id, a.cell, round(list_cosine_similarity(c.c_vec, t.emb), 6) as cos_centroid "
+            "  from assign a join centroids c on a.cell = c.cell join v t on t.vec_id = a.vec_id), "
+            "pairs as (select a.vec_id as id_a, b.vec_id as id_b from assign a join assign b using (cell) "
+            "  join v va on va.vec_id = a.vec_id join v vb on vb.vec_id = b.vec_id "
+            "  where a.vec_id < b.vec_id and round(list_cosine_similarity(va.emb, vb.emb), 6) >= 0.4), "
+            "edges as (select id_a as a, id_b as b from pairs union select id_b, id_a from pairs), "
+            "reach(d, x) as (select a, a from edges union select r.d, e.b from reach r join edges e on e.a = r.x), "
+            "lab as (select d as vec_id, min(x) as group_id from reach group by d), "
+            "sz as (select group_id, count(*) as group_size from lab group by group_id), "
+            "ranked as (select l.vec_id, l.group_id, a.cell, a.cos_centroid, "
+            "  row_number() over (partition by l.group_id order by a.cos_centroid asc, l.vec_id asc) as r "
+            "  from lab l join acos a using (vec_id)) "
+            "select ranked.vec_id, ranked.cell, ranked.group_id, sz.group_size, ranked.cos_centroid, (ranked.r = 1) as keep "
+            "from ranked join sz using (group_id)"
+        ),
+        "c4_line_filter": (
+            "with t0 as (select doc_id, regexp_replace(text, ' (table|line) ', '.' || chr(10), 'g') as text from documents), "
+            "l0 as (select doc_id, text, list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x != '') as lines from t0), "
+            "k as (select doc_id, text, lines, list_filter(lines, x -> "
+            "  len(list_filter(string_split(x, ' '), w -> w != '')) >= 3 "
+            "  and regexp_matches(x, '[.!?\"]$') and not contains(lower(x), 'vector')) as kept from l0) "
+            "select doc_id, len(lines) as n_lines, len(kept) as n_lines_kept, "
+            "((not contains(lower(text), 'big data')) and len(kept) >= 2) as doc_kept, "
+            "case when (not contains(lower(text), 'big data')) and len(kept) >= 2 "
+            "  then array_to_string(kept, chr(10)) else '' end as cleaned_text from k"
+        ),
+        "importance_weights": (
+            "with toks as (select doc_id, source, list_filter(string_split(text, ' '), x -> x != '') as ts from documents), "
+            "g as (select doc_id, source, unnest(ts) as gram from toks), "
+            "b as (select doc_id, source, cast(concat('0x', substr(md5(gram), 1, 15)) as bigint) % 64 as bucket from g), "
+            "ct as (select bucket, count(*) as ct from b where source = 'src0' group by bucket), "
+            "cr as (select bucket, count(*) as cr from b group by bucket), "
+            "tot as (select (select sum(ct) from ct) as tt, (select sum(cr) from cr) as tr), "
+            "allb as (select gs.b as bucket from generate_series(0, 63) gs(b)), "
+            "ratios as (select allb.bucket, cast(round(round("
+            "  ln((coalesce(ct.ct, 0) + 1.0) / (tot.tt + 64.0)) - ln((coalesce(cr.cr, 0) + 1.0) / (tot.tr + 64.0)), 6) * 1000000) as bigint) as llr_micro "
+            "  from allb left join ct using (bucket) left join cr using (bucket) cross join tot), "
+            "sc as (select b.doc_id, count(*) as n_grams, sum(r.llr_micro) as micro from b join ratios r using (bucket) group by b.doc_id) "
+            "select doc_id, n_grams, round(micro / 1000000.0, 6) as log_weight from sc "
+            "union all select doc_id, 0 as n_grams, 0.0 as log_weight from toks where len(ts) < 1"
         ),
         "multimodal_metadata": (
             "select doc_id, octet_length(encode(text)) as n_bytes, lower(hex(encode(substr(text, 1, 8)))) as header_hex from documents"

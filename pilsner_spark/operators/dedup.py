@@ -455,6 +455,81 @@ def incremental_dedup(
     return exact.unionByName(near)
 
 
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    centroids: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space, call within-cluster pairs above a cosine threshold
+    semantic duplicates, and keep ONE representative per duplicate group —
+    the member FARTHEST from its cluster centroid (lowest centroid cosine;
+    the paper's keep-rule, which retains the least-prototypical example so
+    pruning sheds redundancy, not diversity). Ties break to the lowest id.
+
+    Returns one row per document that belongs to some duplicate group:
+    (vec_id, cell, group_id, group_size, cos_centroid, keep). Documents in
+    no group are absent — they are all keepers (same contract as
+    ``neardup_groups``); ``df anti-join (keep = false)`` is the pruned
+    corpus.
+
+    Scale shape: centroid assignment is linear (broadcast C centroids, one
+    max_by agg — operators.ann.ivf_assign); candidate pairs come from
+    ``embedding_neardup_pairs_ivf`` at n_probe=1 (strictly within-cluster,
+    the paper's setting), bounded by the largest cell, never N^2;
+    connected components run on the duplicate EDGE set only; the keeper
+    argmin is one min_by hash aggregation per group. Centroids default to
+    the deterministic sample (oracle-checkable); pass
+    ``kmeans_centroids(...)`` for index quality — same dataflow.
+    """
+    from pilsner_spark.functions.similarity import cosine_similarity
+    from pilsner_spark.operators.ann import ivf_assign, sample_centroids
+
+    if centroids is None:
+        centroids = sample_centroids(df, n_cells, id_col, vec_col)
+    centroids = centroids.localCheckpoint()
+    v = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    assign = ivf_assign(df, n_cells, id_col, vec_col, centroids=centroids)
+    acos = (
+        assign.join(v, "vec_id")
+        .join(F.broadcast(centroids), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.round(
+                cosine_similarity(
+                    F.col("vec").cast("array<double>"), F.col("c_vec").cast("array<double>")
+                ),
+                6,
+            ).alias("cos_centroid"),
+        )
+    )
+    pairs = embedding_neardup_pairs_ivf(
+        df, id_col, vec_col, threshold=threshold, n_cells=n_cells, n_probe=1, centroids=centroids
+    )
+    groups = neardup_groups(pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("canonical_id").alias("group_id"), "group_size"
+    )
+    members = groups.join(acos, "vec_id")
+    keepers = members.groupBy("group_id").agg(
+        F.min_by("vec_id", F.struct(F.col("cos_centroid"), F.col("vec_id"))).alias("keep_id")
+    )
+    return (
+        members.join(keepers, "group_id")
+        .select(
+            "vec_id",
+            "cell",
+            "group_id",
+            "group_size",
+            "cos_centroid",
+            (F.col("vec_id") == F.col("keep_id")).alias("keep"),
+        )
+    )
+
+
 def neardup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """The dedup DECISION: near-dup group membership from candidate pairs.
 

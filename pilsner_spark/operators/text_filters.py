@@ -49,6 +49,8 @@ __all__ = [
     "substring_dedup",
     "PII_PATTERNS",
     "redact_pii",
+    "c4_line_filter",
+    "importance_weights",
 ]
 
 
@@ -231,6 +233,156 @@ def substring_dedup(
         F.array_join(F.transform(keep, lambda i: F.element_at(F.col("ts"), i)), " ").alias(
             "cleaned_text"
         ),
+    )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_words_per_line: int = 5,
+    require_terminal_punct: bool = True,
+    line_blocklist: tuple = ("javascript",),
+    doc_blocklist: tuple = ("lorem ipsum", "{"),
+    min_lines_kept: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the
+    heuristics behind the C4 pretraining corpus): keep only lines that end
+    in terminal punctuation AND carry at least ``min_words_per_line``
+    whitespace words AND contain no blocklisted phrase; drop whole
+    documents that mention a document-level blocklist phrase (C4's
+    "lorem ipsum" / "{" / bad-word rule) or that retain fewer than
+    ``min_lines_kept`` lines (C4's three-sentence floor).
+
+    Returns one row per input document — dropped documents stay visible
+    (no silent truncation): (doc_id, n_lines, n_lines_kept, doc_kept,
+    cleaned_text) with cleaned_text = kept lines rejoined by a newline
+    ('' when doc_kept is false).
+
+    Physical shape: a pure projection — split / transform / filter /
+    array_join under whole-stage codegen, zero shuffles, zero UDFs; at
+    100 TB this runs at scan speed and composes with the other hygiene
+    passes in one stage. ``line_sep`` is a Java-regex in the RE2-common
+    subset so the DuckDB oracle splits identically."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), line_sep), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+    def _line_ok(l):
+        ok = F.size(F.filter(F.split(l, " "), lambda w: w != "")) >= min_words_per_line
+        if require_terminal_punct:
+            ok = ok & l.rlike('[.!?"]$')
+        for phrase in line_blocklist:
+            ok = ok & ~F.lower(l).contains(phrase.lower())
+        return ok
+
+    kept = F.filter(lines, _line_ok)
+    doc_bad = F.lit(False)
+    for phrase in doc_blocklist:
+        doc_bad = doc_bad | F.lower(F.col(text_col)).contains(phrase.lower())
+    doc_kept = (~doc_bad) & (F.size(kept) >= min_lines_kept)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        doc_kept.alias("doc_kept"),
+        F.when(doc_kept, F.array_join(kept, "\n")).otherwise(F.lit("")).alias("cleaned_text"),
+    )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    raw: DataFrame = None,
+    n_buckets: int = 64,
+    ngram_n: int = 1,
+    smoothing: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data selection with importance resampling (Xie et al.
+    2023): score every candidate document by how much more likely its
+    hashed n-gram bag is under a TARGET distribution (the domain you want
+    more of — e.g. curated/wiki-like text) than under the RAW corpus
+    distribution. Selection then keeps the top-weight documents (or
+    Gumbel-resamples on the weights — a downstream choice on this column).
+
+    Features are hashed n-grams: bucket = md5_long(gram) mod ``n_buckets``
+    (engine-portable, no vocabulary is ever collected). Both distributions
+    are add-``smoothing`` estimates over the buckets; each document's
+    log-weight is the sum over its gram OCCURRENCES of
+    ln(p_target(bucket) / p_raw(bucket)).
+
+    Returns (doc_id, n_grams, log_weight) for every candidate document
+    (docs with no grams get log_weight 0.0). ``raw`` defaults to ``docs``
+    itself — the usual DSIR setup where candidates define the raw
+    distribution.
+
+    Physical shape: the two distribution tables aggregate to ``n_buckets``
+    rows each (hash agg with map-side partials over the exploded grams)
+    and BROADCAST onto the candidates' gram stream — corpus text never
+    shuffles; the only wide exchange is the final groupBy(doc_id) rollup.
+    Per-gram log-ratios are rounded to 6 dp and summed in integer
+    micro-units so the rollup is order-independent and byte-identical
+    across engines (float sums are not associative)."""
+    if raw is None:
+        raw = docs
+    from pilsner_spark.functions.text import md5_long
+
+    def grams(d):
+        return doc_ngrams(d, ngram_n, id_col, text_col).select(
+            F.pmod(md5_long(F.col("gram")), F.lit(n_buckets)).alias("bucket")
+        )
+
+    def dist(d, cname):
+        return grams(d).groupBy("bucket").agg(F.count(F.lit(1)).alias(cname))
+
+    t_counts = dist(target, "ct")
+    r_counts = dist(raw, "cr")
+    # cover all buckets (a candidate gram may hash to a bucket unseen in
+    # either distribution — smoothing still defines its ratio)
+    all_buckets = docs.sparkSession.range(n_buckets).select(F.col("id").cast("bigint").alias("bucket"))
+    s = float(smoothing)
+    ratios = (
+        all_buckets.join(t_counts, "bucket", "left")
+        .join(r_counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+            F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+        )
+        .crossJoin(
+            t_counts.agg(F.sum("ct").alias("tt")).crossJoin(r_counts.agg(F.sum("cr").alias("tr")))
+        )
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.col("ct") + s) / (F.col("tt") + s * n_buckets))
+                - F.log((F.col("cr") + s) / (F.col("tr") + s * n_buckets)),
+                6,
+            ).alias("llr"),
+        )
+        .withColumn("llr_micro", F.round(F.col("llr") * 1e6).cast("bigint"))
+    )
+    doc_grams = doc_ngrams(docs, ngram_n, id_col, text_col).select(
+        "doc_id", F.pmod(md5_long(F.col("gram")), F.lit(n_buckets)).alias("bucket")
+    )
+    scored = (
+        doc_grams.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.sum("llr_micro").alias("micro"))
+        .select("doc_id", "n_grams", F.round(F.col("micro") / 1e6, 6).alias("log_weight"))
+    )
+    # total coverage: gram-less docs score 0.0 (nothing to weigh)
+    from pilsner_spark.functions.text import tokens as _toks
+
+    empty = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")).filter(
+        F.size(_toks(F.col("_t"))) < ngram_n
+    )
+    return scored.unionByName(
+        empty.select("doc_id", F.lit(0).cast("bigint").alias("n_grams"), F.lit(0.0).alias("log_weight"))
     )
 
 

@@ -595,3 +595,35 @@ def test_ann_ivf_pq_persisted_index_never_reads_vectors(spark, vectors, tmp_path
         ).collect()
     }
     assert served == inline
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    """SemDeDup keep-rule (Abbas et al. 2023): within a duplicate group the
+    survivor is the member FARTHEST from its cluster centroid (lowest
+    centroid cosine), exactly one keeper per group, singletons absent.
+    Vectors 1/2 are the deterministic sample centroids (lowest ids)."""
+    from pilsner_spark.operators.dedup import semdedup
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.9, 0.1]),
+            (4, [0.85, 0.15]),
+            (5, [0.1, 0.9]),
+            (6, [-1.0, 0.5]),  # lands in cell 2 but near nothing: singleton
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = semdedup(vecs, threshold=0.95, n_cells=2).collect()
+    by_id = {r.vec_id: r for r in rows}
+    assert set(by_id) == {1, 2, 3, 4, 5}  # 6 is a singleton -> absent
+    # cell 1 group {1,3,4}: 4 has the lowest cosine to centroid [1,0]
+    assert {r.vec_id for r in rows if r.group_id == 1} == {1, 3, 4}
+    assert {r.vec_id for r in rows if r.group_id == 1 and r.keep} == {4}
+    assert by_id[1].group_size == 3
+    # cell 2 group {2,5}: 5 is farther from centroid [0,1] than 2
+    assert {r.vec_id for r in rows if r.group_id == 2 and r.keep} == {5}
+    # exactly one keeper per group
+    for gid in {r.group_id for r in rows}:
+        assert sum(1 for r in rows if r.group_id == gid and r.keep) == 1

@@ -143,3 +143,70 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     plan = decontaminate(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_c4_line_filter_each_rule(spark):
+    """One document exercising every C4 rule: a keepable line, a too-short
+    line, a no-terminal-punct line, a blocklisted line; plus a doc killed
+    by the document blocklist and a doc below the kept-lines floor."""
+    from pilsner_spark.operators.text_filters import c4_line_filter
+
+    rows = [
+        (1, "the cat sat on the mat.\nshort line.\nno terminal punct here\nthe spam javascript line is long.\nanother fine sentence appears here!"),
+        (2, "lorem ipsum dolor sit amet.\na perfectly good long sentence here.\nanother good long sentence right here."),
+        (3, "only one good long sentence here."),
+    ]
+    out = {
+        r.doc_id: r
+        for r in c4_line_filter(
+            _docs(spark, rows), min_words_per_line=5, min_lines_kept=2
+        ).collect()
+    }
+    # doc 1: 5 lines in; kept = line 1 (6 words, '.') and line 5 ('!');
+    # 'short line.' < 5 words, line 3 lacks terminal punct, line 4 has
+    # 'javascript'
+    assert (out[1].n_lines, out[1].n_lines_kept, out[1].doc_kept) == (5, 2, True)
+    assert out[1].cleaned_text == "the cat sat on the mat.\nanother fine sentence appears here!"
+    # doc 2: all three lines pass the line rules (the lorem-ipsum line is
+    # itself 5 words + terminal punct) but the DOC blocklist kills the page
+    assert (out[2].n_lines_kept, out[2].doc_kept, out[2].cleaned_text) == (3, False, "")
+    # doc 3: one kept line < min_lines_kept=2 floor
+    assert (out[3].n_lines_kept, out[3].doc_kept) == (1, False)
+
+
+def test_importance_weights_orders_target_like_docs_first(spark):
+    """Docs made of target-domain grams must outweigh raw-only docs; the
+    gram-less doc gets an explicit 0.0 (total coverage)."""
+    from pilsner_spark.operators.text_filters import importance_weights
+
+    target = _docs(spark, [(100, "alpha beta alpha beta gamma")])
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta alpha"),      # pure target vocabulary
+            (2, "zzz qqq www rrr"),       # unseen-in-target vocabulary
+            (3, ""),                       # no grams at all
+        ],
+    )
+    out = {r.doc_id: r for r in importance_weights(docs, target, n_buckets=32).collect()}
+    assert out[1].log_weight > out[2].log_weight
+    assert out[1].log_weight > 0.0 and out[2].log_weight < 0.0
+    assert (out[3].n_grams, out[3].log_weight) == (0, 0.0)
+    assert out[1].n_grams == 3 and out[2].n_grams == 4
+
+
+def test_importance_weights_sum_is_order_independent(spark):
+    """The per-doc rollup sums integer micro-units — repartitioning the
+    gram stream (different accumulation order) must not move the result
+    even in the last decimal."""
+    from pilsner_spark.operators.text_filters import importance_weights
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 7 + 1))) for i in range(1, 40)]
+    docs = _docs(spark, rows)
+    target = _docs(spark, [(0, "w0 w1 w2")])
+    a = {r.doc_id: r.log_weight for r in importance_weights(docs, target).collect()}
+    b = {
+        r.doc_id: r.log_weight
+        for r in importance_weights(docs.repartition(7), target).collect()
+    }
+    assert a == b
