@@ -38,6 +38,9 @@ HEADLINE = [
     "quality_repetition",
     "substring_dedup",
     "dedup_incremental",
+    "dedup_semantic",
+    "c4_line_filter",
+    "importance_weights",
     "pack_token_budget",
     "mix_domains",
     "agg_pricing_summary",

@@ -5,18 +5,21 @@ metadata struct; the Spark-side machinery (schema, Arrow batch shape,
 partition sizing, UDF signatures) is real and tested. Decoding is REAL
 for every format a pure Python + numpy parser can handle — PPM (P6),
 PGM (P5), 24-bit uncompressed BMP, 8-bit PNG (DEFLATE via stdlib zlib,
-operators/png_codec), and GIF (pure-Python LZW, operators/gif_codec)
+operators/png_codec), GIF (pure-Python LZW, operators/gif_codec), and
+baseline JPEG (pure-Python canonical Huffman + numpy IDCT,
+operators/jpeg_codec — gray / 4:4:4 / 4:2:2 / 4:2:0)
 (``decode_image_array``, with nearest-neighbor ``resize_nearest``),
 8/16-bit PCM RIFF/WAVE audio (``decode_audio_array``, with ``frame_rms``
 frame sampling), and uncompressed-DIB RIFF/AVI video
 (``decode_video_array``, with ``sample_frames`` frame sampling) — and
 real pixel/audio/video features flow through ``extract_features_df`` for
-those payloads, routed per media_type. Codecs whose entropy coding has
-no stdlib implementation (JPEG/MP3/MJPEG/H.264...) remain STUBBED: the
-decoders raise NotImplementedError for them unless ``fake=True``, in
-which case a deterministic byte-derived feature vector stands in —
-letting the downstream operators (dedup by feature cosine, ANN over
-extracted embeddings) be exercised end-to-end either way.
+those payloads, routed per media_type. The residue with neither a stdlib
+entropy coder nor a tractable pure-Python one (progressive JPEG, MP3,
+H.264, WebP...) remains STUBBED: the decoders raise NotImplementedError
+for them unless ``fake=True``, in which case a deterministic
+byte-derived feature vector stands in — letting the downstream operators
+(dedup by feature cosine, ANN over extracted embeddings) be exercised
+end-to-end either way.
 
 At 100 TB the operative concerns encoded here:
 * binary payloads are NEVER shuffled with their features — feature
@@ -76,9 +79,11 @@ def decode_image_array(payload: bytes) -> np.ndarray:
     """REAL decode (pure Python + numpy, no codec libraries) of image
     formats: binary PPM ('P6', RGB), binary PGM ('P5', grayscale replicated
     to 3 channels), 24-bit uncompressed BMP, 8-bit PNG (DEFLATE via stdlib
-    zlib — png_codec), and GIF (pure-Python LZW — gif_codec, first frame).
-    Returns an (H, W, 3) uint8 array. Formats whose entropy coding has no
-    stdlib implementation (JPEG/WebP/...) raise NotImplementedError."""
+    zlib — png_codec), GIF (pure-Python LZW — gif_codec, first frame), and
+    baseline JPEG (pure-Python Huffman + numpy IDCT — jpeg_codec; gray /
+    4:4:4 / 4:2:2 / 4:2:0). Returns an (H, W, 3) uint8 array. Remaining
+    unsupported variants (progressive JPEG, WebP/AVIF/...) raise
+    NotImplementedError."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from pilsner_spark.operators.png_codec import decode_png_array
 
@@ -87,6 +92,10 @@ def decode_image_array(payload: bytes) -> np.ndarray:
         from pilsner_spark.operators.gif_codec import decode_gif_array
 
         return decode_gif_array(payload)
+    if payload[:2] == b"\xff\xd8":
+        from pilsner_spark.operators.jpeg_codec import decode_jpeg_array
+
+        return decode_jpeg_array(payload)
     magic = payload[:2]
     if magic in (b"P6", b"P5"):
         (w, h, maxval), off = _ppm_tokens(payload, 3)
@@ -110,7 +119,7 @@ def decode_image_array(payload: bytes) -> np.ndarray:
             img = img[::-1]  # positive height = bottom-up row order
         return img[:, :, ::-1].copy()  # BGR -> RGB
     raise NotImplementedError(
-        "payload is not a PPM/PGM/BMP/PNG/GIF; other compressed formats (JPEG/WebP/...) "
+        "payload is not a PPM/PGM/BMP/PNG/GIF/JPEG; other compressed formats (WebP/AVIF/...) "
         "need codec libraries not present in this environment"
     )
 

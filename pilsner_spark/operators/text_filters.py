@@ -51,6 +51,7 @@ __all__ = [
     "redact_pii",
     "c4_line_filter",
     "importance_weights",
+    "select_top_k_by_weight",
 ]
 
 
@@ -384,6 +385,52 @@ def importance_weights(
     return scored.unionByName(
         empty.select("doc_id", F.lit(0).cast("bigint").alias("n_grams"), F.lit(0.0).alias("log_weight"))
     )
+
+
+def select_top_k_by_weight(
+    scored: DataFrame,
+    k: int,
+    weight_col: str = "log_weight",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The SELECTION step completing DSIR: keep exactly the ``k``
+    highest-weight documents, deterministically (ties broken by id) — the
+    deterministic-top-k variant of the paper's Gumbel resampling (swap the
+    sort key for weight + Gumbel(seed, id) noise to get the sampled
+    variant; the machinery is identical).
+
+    A bare ``row_number() over (order by weight desc)`` funnels the whole
+    corpus through ONE task. Instead the 6-dp weight (an exact integer in
+    micro-units, see ``importance_weights``) is embedded into a fixed-width
+    hex sort key whose LEXICOGRAPHIC order equals weight-descending, and
+    ``blocking.global_sort_ranks`` computes the global rank with its
+    bucketed two-level construction — per-bucket counts prefix-scan on a
+    tiny table and broadcast back; no single-partition window ever sees the
+    corpus. Returns the selected rows of ``scored`` unchanged.
+
+    The key is RANGE-NORMALIZED: one cheap (min, max) aggregation pins the
+    weight span and the key becomes (max_micro - micro) at exactly the hex
+    width of the span, so the leading characters vary across the data and
+    the adaptive prefix bucketer gets real fan-out. A fixed wide offset
+    (e.g. 2^62 - micro) looks order-preserving too but leaves a long
+    CONSTANT hex prefix — every row in one bucket, the exact single-task
+    funnel this construction exists to avoid (same failure the ADVICE r3
+    note caught on zero-padded numeric sort keys).
+    """
+    from pilsner_spark.operators.blocking import global_sort_ranks
+
+    micro = F.round(F.col(weight_col) * 1e6).cast("bigint")
+    lo, hi = scored.agg(F.min(micro), F.max(micro)).first()
+    if hi is None:  # empty input
+        return scored
+    span = max(int(hi) - int(lo), 1)
+    width = len(format(span, "x"))
+    keyed = scored.withColumn(
+        "_sk", F.lpad(F.conv((F.lit(int(hi)) - micro).cast("string"), 10, 16), width, "0")
+    )
+    ranks = global_sort_ranks(keyed, "_sk", id_col, bucket_prefix_len="auto")
+    sel = ranks.filter(F.col("rank") <= k).select(F.col("id").alias(id_col))
+    return scored.join(sel, id_col)
 
 
 # Patterns limited to the Java-regex ∩ RE2 common subset (no backrefs, no

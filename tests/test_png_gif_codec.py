@@ -88,3 +88,84 @@ def test_multimodal_router_decodes_png_and_gif():
     gif = encode_gif(idx, pal)
     assert np.array_equal(decode_image_array(gif), pal[idx])
     assert decode_image(gif, fake=False) == pixel_features(pal[idx])
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def _smooth(h, w):
+    """Gradient image (JPEG-friendly: bounded quantization error)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+            ((xx + yy) * 255 // max(w + h - 2, 1)).astype(np.uint8),
+        ],
+        axis=2,
+    )
+
+
+@pytest.mark.parametrize("subsampling,tol", [("444", 6), ("420", 16)])
+def test_jpeg_roundtrip_within_quality_tolerance(subsampling, tol):
+    """Lossy codec: round-trip must land within a quantization-scale
+    tolerance (exactness is impossible by design), at exact output shape.
+    4:2:0 exercises the interleaved-MCU decode + chroma upsampling path."""
+    from pilsner_spark.operators.jpeg_codec import decode_jpeg_array, encode_jpeg
+
+    img = _smooth(24, 40)
+    got = decode_jpeg_array(encode_jpeg(img, quality=90, subsampling=subsampling))
+    assert got.shape == img.shape and got.dtype == np.uint8
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= tol
+
+
+def test_jpeg_grayscale_and_odd_sizes():
+    """1-component scan replicates to 3 channels; non-multiple-of-8 (and
+    non-multiple-of-16 for 4:2:0) sizes crop the padded raster exactly."""
+    from pilsner_spark.operators.jpeg_codec import decode_jpeg_array, encode_jpeg
+
+    gray = (np.mgrid[0:19, 0:21][0] * 13 % 256).astype(np.uint8)
+    got = decode_jpeg_array(encode_jpeg(gray, quality=95))
+    assert got.shape == (19, 21, 3)
+    assert np.abs(got[:, :, 0].astype(int) - gray.astype(int)).max() <= 12
+    assert np.array_equal(got[:, :, 0], got[:, :, 1]) and np.array_equal(got[:, :, 0], got[:, :, 2])
+    odd = _smooth(17, 19)
+    got420 = decode_jpeg_array(encode_jpeg(odd, quality=90, subsampling="420"))
+    assert got420.shape == (17, 19, 3)
+
+
+def test_jpeg_flat_image_is_near_exact():
+    """A flat color has only DC energy — the round-trip must be exact to
+    within rounding (pins DC prediction + dequant + IDCT scaling)."""
+    from pilsner_spark.operators.jpeg_codec import decode_jpeg_array, encode_jpeg
+
+    img = np.full((16, 16, 3), (120, 64, 200), dtype=np.uint8)
+    got = decode_jpeg_array(encode_jpeg(img, quality=95))
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_jpeg_truncation_and_corruption_raise():
+    """Strict contract: cut segments, cut entropy data, and a progressive
+    SOF must raise — never plausible pixels from a broken payload."""
+    from pilsner_spark.operators.jpeg_codec import decode_jpeg_array, encode_jpeg
+
+    enc = encode_jpeg(_smooth(24, 40), quality=75)
+    with pytest.raises(ValueError):
+        decode_jpeg_array(enc[: len(enc) // 3])  # cut inside the tables
+    with pytest.raises(ValueError):
+        decode_jpeg_array(enc[:-30])  # cut inside the scan
+    prog = bytearray(enc)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_array(bytes(prog))
+
+
+def test_multimodal_router_decodes_jpeg():
+    from pilsner_spark.operators.jpeg_codec import encode_jpeg
+    from pilsner_spark.operators.multimodal import decode_image_array
+
+    img = _smooth(16, 16)
+    got = decode_image_array(encode_jpeg(img, quality=95))
+    assert got.shape == (16, 16, 3)
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 6

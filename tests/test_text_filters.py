@@ -210,3 +210,21 @@ def test_importance_weights_sum_is_order_independent(spark):
         for r in importance_weights(docs.repartition(7), target).collect()
     }
     assert a == b
+
+
+def test_select_top_k_by_weight_exact_and_tie_stable(spark):
+    """Selection keeps exactly the k highest weights with ties broken by
+    id — identical to a naive global sort, including negative weights and
+    a tie straddling the cut."""
+    from pilsner_spark.operators.text_filters import select_top_k_by_weight
+
+    rows = [
+        (1, 0.5), (2, -0.25), (3, 1.75), (4, 0.5), (5, 0.5),
+        (6, -1.5), (7, 2.0), (8, 0.0),
+    ]
+    scored = spark.createDataFrame(rows, "doc_id long, log_weight double")
+    got = sorted(r.doc_id for r in select_top_k_by_weight(scored, k=4).collect())
+    # order: 7(2.0), 3(1.75), then the 0.5 tie 1,4,5 -> ids 1 and 4 make the cut
+    assert got == [1, 3, 4, 7]
+    # k beyond the table returns everything
+    assert len(select_top_k_by_weight(scored, k=100).collect()) == 8

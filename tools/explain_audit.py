@@ -177,6 +177,30 @@ CHECKS = {
             ("no Python nodes", r"EvalPython|MapInPandas"),
         ],
     },
+    # C4 line cleaning is a pure projection: split/filter/join arrays under
+    # codegen — NOTHING may shuffle and nothing may enter Python
+    "c4_line_filter": {
+        "want": [
+            ("whole-stage codegen (or AQE runtime-compiled)", r"codegen id|AdaptiveSparkPlan"),
+        ],
+        "avoid": [
+            ("no shuffle at all (pure projection)", r"Exchange"),
+            ("no Python nodes", r"EvalPython|MapInPandas"),
+        ],
+    },
+    # DSIR: both bucket-distribution tables broadcast onto the gram stream;
+    # the only wide exchange is the final per-doc rollup (partial-agg'd)
+    "importance_weights": {
+        "want": [
+            ("bucket ratio table broadcast", r"BroadcastHashJoin"),
+            ("partial aggregation before the doc rollup", r"HashAggregate"),
+            ("whole-stage codegen (or AQE runtime-compiled)", r"codegen id|AdaptiveSparkPlan"),
+        ],
+        "avoid": [
+            ("no sort-merge join", r"SortMergeJoin"),
+            ("no Python nodes", r"EvalPython|MapInPandas"),
+        ],
+    },
     # stage 2 = JW/Lev on the undecided slice, filter pushed into the scan
     "er_jw_slice": {
         "want": [
