@@ -7,6 +7,10 @@ per-stage checkpoint / lineage / resume machinery as the ER pipeline
 This composes the training-data operators the driver brief mandates into
 the pipeline a 100 TB pretraining-corpus build actually runs:
 
+0. ``c4_clean`` (optional, ``c4_params``) — C4-style line-level cleaning
+   (text_filters.c4_line_filter) BEFORE everything else: survivors
+   continue with cleaned text, killed pages enter the drop ledger as
+   ``c4_dropped``. Pure projection — adds no shuffle.
 1. ``doc_stats`` — per-document token/quality/lang/repetition signals
    (functions/text.py + operators/text_filters.repetition_stats): one
    projection plus one (doc_id, gram) hash aggregation.
@@ -25,6 +29,10 @@ the pipeline a 100 TB pretraining-corpus build actually runs:
    repetition / length signals (reasons counted before the drop).
 4. ``splits`` — deterministic hash split (packing.deterministic_split):
    a doc's split never changes when neighbors come or go.
+4.5. ``dsir_selected`` (optional, ``dsir_target`` + ``dsir_top_k``) —
+   DSIR data selection (text_filters.importance_weights +
+   select_top_k_by_weight) AFTER filtering: only the k most
+   target-domain-like survivors proceed to split/pack.
 5. ``packed_<split>`` — token-budget offset packing per split
    (packing.pack_by_budget, bucketed two-level prefix sum — no
    single-partition window).
@@ -56,7 +64,13 @@ from pilsner_spark.operators.dedup import (
     neardup_groups,
 )
 from pilsner_spark.operators.packing import deterministic_split, pack_by_budget
-from pilsner_spark.operators.text_filters import decontaminate, repetition_stats
+from pilsner_spark.operators.text_filters import (
+    c4_line_filter,
+    decontaminate,
+    importance_weights,
+    repetition_stats,
+    select_top_k_by_weight,
+)
 from pilsner_spark.plans.pipeline import Pipeline
 
 
@@ -122,11 +136,22 @@ def run_corpus_prep(
     split_weights: Optional[Dict[str, int]] = None,
     pack_budget: int = 512,
     split_seed: str = "corpus",
+    c4_params: Optional[dict] = None,
+    dsir_target: Optional[DataFrame] = None,
+    dsir_top_k: Optional[int] = None,
+    dsir_buckets: int = 64,
 ) -> Dict[str, object]:
     """Run (or resume) the corpus-prep pipeline. ``docs`` needs (doc_id,
     text); ``benchmark`` (optional) is the eval set to decontaminate
-    against. Returns {'packed': {split: DataFrame}, 'filtered': DataFrame,
-    'drops': DataFrame, 'metrics': dict, 'pipeline': Pipeline}."""
+    against. ``c4_params`` (optional) turns on a C4-style line-cleaning
+    stage FIRST (kwargs for text_filters.c4_line_filter): kept documents
+    continue with their cleaned text, killed documents enter the drop
+    ledger as ``c4_dropped``. ``dsir_target`` + ``dsir_top_k`` (optional)
+    add a DSIR data-selection stage LAST: the filtered corpus is scored
+    against the target distribution and only the top-k weights proceed to
+    split/pack. Returns {'packed': {split: DataFrame}, 'filtered':
+    DataFrame, 'drops': DataFrame, 'metrics': dict, 'pipeline':
+    Pipeline}."""
     split_weights = split_weights or {"train": 8, "val": 1, "test": 1}
     params = {
         "minhash_num_hashes": minhash_num_hashes,
@@ -143,9 +168,26 @@ def run_corpus_prep(
         "pack_budget": pack_budget,
         "split_seed": split_seed,
         "has_benchmark": benchmark is not None,
+        "c4": sorted(c4_params.items()) if c4_params else None,
+        "dsir_top_k": dsir_top_k,
+        "dsir_buckets": dsir_buckets,
+        "has_dsir_target": dsir_target is not None,
     }
     pipe = Pipeline(spark, workdir, params)
     docs = docs.select("doc_id", "text")
+
+    c4_dropped = None
+    if c4_params is not None:
+        c4_out = pipe.stage("c4_clean", lambda: c4_line_filter(docs, **c4_params))
+        c4_dropped = c4_out.filter(~F.col("doc_kept")).select(
+            "doc_id",
+            F.lit("c4_dropped").alias("reason"),
+            F.concat(F.lit("lines_kept="), F.col("n_lines_kept").cast("string")).alias("detail"),
+        )
+        # downstream stages see the CLEANED text of surviving documents
+        docs = c4_out.filter(F.col("doc_kept")).select(
+            "doc_id", F.col("cleaned_text").alias("text")
+        )
 
     def build_stats() -> DataFrame:
         base = docs.select(
@@ -173,6 +215,8 @@ def run_corpus_prep(
                     "doc_id", F.lit("contaminated").alias("reason"), F.col("first_hit").alias("detail")
                 )
             )
+        if c4_dropped is not None:
+            out = out.unionByName(c4_dropped)
         # one ledger row per (doc, reason); a doc may carry several reasons
         return out.dropDuplicates(["doc_id", "reason"])
 
@@ -194,13 +238,27 @@ def run_corpus_prep(
 
     filtered = pipe.stage("corpus_filtered", build_filtered)
 
+    selected = filtered
+    if dsir_target is not None and dsir_top_k:
+        def build_dsir() -> DataFrame:
+            scored = importance_weights(
+                filtered.select("doc_id", "text"),
+                dsir_target.select("doc_id", "text"),
+                n_buckets=dsir_buckets,
+            )
+            return select_top_k_by_weight(scored, dsir_top_k)
+
+        dsir = pipe.stage("dsir_selected", build_dsir)
+        # selection keeps only ids + weights; re-attach the filtered columns
+        selected = filtered.join(dsir.select("doc_id"), "doc_id")
+
     # assignment only (doc_id, n_tokens, split): the corpus text already
     # lives in the corpus_filtered checkpoint — re-materializing it here
     # would double the pipeline's largest write for a 1-column projection
     splits = pipe.stage(
         "splits",
         lambda: deterministic_split(
-            filtered.select("doc_id", "n_tokens"), "doc_id", split_weights, seed=split_seed
+            selected.select("doc_id", "n_tokens"), "doc_id", split_weights, seed=split_seed
         ),
     )
 
@@ -216,20 +274,28 @@ def run_corpus_prep(
 
         packed[label] = pipe.stage(f"packed_{label}", build_packed)
 
-    # doc_stats is row-for-row with the input — its lineage count is the
-    # corpus size for free (no extra count job)
-    n_input = pipe.metrics.get("doc_stats", {}).get("rows")
+    # stage lineage counts give the corpus sizes for free (no extra count
+    # jobs): c4_clean is row-for-row with the raw input when present,
+    # doc_stats with the (possibly C4-cleaned) working corpus
+    n_input = (
+        pipe.metrics.get("c4_clean", {}).get("rows")
+        if c4_params is not None
+        else pipe.metrics.get("doc_stats", {}).get("rows")
+    )
     n_filtered = pipe.metrics.get("corpus_filtered", {}).get("rows")
+    n_selected = pipe.metrics.get("dsir_selected", {}).get("rows")
     pipe.metrics["summary"] = {
         "n_input_docs": n_input,
         "drop_reasons": reason_counts,
         "n_dropped_ledger": sum(reason_counts.values()),
         "n_retained": n_filtered,
         "retention_rate": round(n_filtered / n_input, 6) if n_filtered is not None and n_input else None,
+        "n_dsir_selected": n_selected,
     }
     return {
         "packed": packed,
         "filtered": filtered,
+        "selected": selected,
         "splits": splits,
         "drops": drops,
         "metrics": pipe.metrics,
@@ -245,6 +311,15 @@ def main() -> None:
     parser.add_argument("--pack-budget", type=int, default=512)
     parser.add_argument("--no-benchmark", action="store_true",
                         help="skip the decontamination stage")
+    parser.add_argument("--c4", action="store_true",
+                        help="turn on the C4 line-cleaning stage (the synthetic "
+                        "corpus has no line structure, so ' table '/' line ' are "
+                        "deterministically re-punctuated into sentence breaks "
+                        "first — same stand-in as the c4_line_filter oracle query)")
+    parser.add_argument("--dsir-top-frac", type=float, default=0.0,
+                        help="> 0 turns on DSIR selection: keep this fraction of "
+                        "the input count, by importance weight vs the source='src0' "
+                        "slice (the stand-in target domain)")
     args = parser.parse_args()
 
     from pilsner_spark.session import get_spark
@@ -253,8 +328,24 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
     bench = None if args.no_benchmark else docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs if args.no_benchmark else docs.filter(F.col("doc_id") % 50 != 0)
+    c4_params = None
+    if args.c4:
+        corpus = corpus.withColumn(
+            "text", F.regexp_replace("text", " (table|line) ", ".\n")
+        )
+        c4_params = {
+            "min_words_per_line": 3,
+            "line_blocklist": ("vector",),
+            "doc_blocklist": ("big data",),
+            "min_lines_kept": 2,
+        }
+    dsir_target, dsir_top_k = None, None
+    if args.dsir_top_frac > 0:
+        dsir_target = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+        dsir_top_k = max(1, int(args.dsir_top_frac * corpus.count()))
     result = run_corpus_prep(spark, args.workdir, corpus, benchmark=bench,
-                             pack_budget=args.pack_budget)
+                             pack_budget=args.pack_budget, c4_params=c4_params,
+                             dsir_target=dsir_target, dsir_top_k=dsir_top_k)
     out = {"metrics": result["metrics"]}
     print(json.dumps(out, default=str))
 

@@ -72,3 +72,43 @@ def test_corpus_prep_resumes_from_checkpoints(spark, corpus, tmp_path):
     # changed params -> stale checkpoint is NOT reused
     third = run_corpus_prep(spark, wd, corpus, benchmark=bench, pack_budget=256)
     assert third["metrics"]["packed_train"]["resumed"] is False
+
+
+def test_corpus_prep_c4_and_dsir_stages(spark, tmp_path):
+    """Optional stages: C4 line cleaning runs FIRST (killed docs enter the
+    ledger as c4_dropped, survivors continue with cleaned text), DSIR
+    selection runs LAST (only the top-k weights reach split/pack)."""
+    rows = [
+        # two good lines -> kept, third line (no terminal punct) cleaned away
+        (1, "the quick brown fox runs far today.\nanother solid sentence sits right here.\ntrailing fragment"),
+        (2, "lorem ipsum dolor sit amet sequence.\na second good long line lives here."),  # doc-blocklisted
+        (3, "the quick brown fox runs far tonight.\nmore plain words make a sentence here."),
+        (4, "words about trains and the coast appear.\nthe sea and the weather fill this text."),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [(100, "trains coast sea weather")], ["doc_id", "text"]
+    )
+    res = run_corpus_prep(
+        spark,
+        str(tmp_path / "wd"),
+        docs,
+        c4_params={"min_words_per_line": 5, "min_lines_kept": 2},
+        dsir_target=target,
+        dsir_top_k=1,
+        min_quality=0.0,
+        max_top_ngram_frac=1.0,
+    )
+    drops = {(r.doc_id, r.reason) for r in res["drops"].collect()}
+    assert (2, "c4_dropped") in drops
+    # doc 1's fragment line is gone from the working text
+    filtered = {r.doc_id: r.text for r in res["filtered"].collect()}
+    assert "trailing fragment" not in filtered[1]
+    assert set(filtered) == {1, 3, 4}
+    # DSIR keeps exactly the target-like doc
+    selected = {r.doc_id for r in res["selected"].collect()}
+    assert selected == {4}
+    assert res["metrics"]["summary"]["n_input_docs"] == 4
+    assert res["metrics"]["summary"]["n_dsir_selected"] == 1
+    splits = {r.doc_id for r in res["splits"].collect()}
+    assert splits == {4}
