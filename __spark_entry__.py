@@ -905,6 +905,18 @@ def q_select_quality_topk(spark, sf_dir):
     return select_top_k_by_weight(scored, k=100)
 
 
+def q_sample_quality_gumbel(spark, sf_dir):
+    """DSIR's actual resampling step: Gumbel-top-k over the importance
+    weights (temperature 2.0) — k=100 documents drawn WITHOUT replacement
+    with probability ∝ exp(weight/T), deterministically seeded (md5-derived
+    Gumbel noise, engine-portable)."""
+    from pilsner_spark.operators.text_filters import gumbel_sample_by_weight, importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = importance_weights(docs, docs.filter(F.col("source") == "src0"), n_buckets=64)
+    return gumbel_sample_by_weight(scored, k=100, temperature=2.0)
+
+
 def q_multimodal_metadata(spark, sf_dir):
     """Opaque binary column plumbing: treat text bytes as a blob, extract
     typed metadata (size, header hex) — the schema/partitioning pattern for
@@ -1051,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "importance_weights": q_importance_weights,
         "select_quality_topk": q_select_quality_topk,
+        "sample_quality_gumbel": q_sample_quality_gumbel,
         "multimodal_metadata": q_multimodal_metadata,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -1692,6 +1705,25 @@ def oracle_sql() -> dict[str, str]:
             "  union all select doc_id, 0 as n_grams, 0.0 as log_weight from toks where len(ts) < 1) "
             "select doc_id, n_grams, log_weight from "
             "(select *, row_number() over (order by log_weight desc, doc_id asc) as r from iw) where r <= 100"
+        ),
+        "sample_quality_gumbel": (
+            "with toks as (select doc_id, source, list_filter(string_split(text, ' '), x -> x != '') as ts from documents), "
+            "g as (select doc_id, source, unnest(ts) as gram from toks), "
+            "b as (select doc_id, source, cast(concat('0x', substr(md5(gram), 1, 15)) as bigint) % 64 as bucket from g), "
+            "ct as (select bucket, count(*) as ct from b where source = 'src0' group by bucket), "
+            "cr as (select bucket, count(*) as cr from b group by bucket), "
+            "tot as (select (select sum(ct) from ct) as tt, (select sum(cr) from cr) as tr), "
+            "allb as (select gs.b as bucket from generate_series(0, 63) gs(b)), "
+            "ratios as (select allb.bucket, cast(round(round("
+            "  ln((coalesce(ct.ct, 0) + 1.0) / (tot.tt + 64.0)) - ln((coalesce(cr.cr, 0) + 1.0) / (tot.tr + 64.0)), 6) * 1000000) as bigint) as llr_micro "
+            "  from allb left join ct using (bucket) left join cr using (bucket) cross join tot), "
+            "sc as (select b.doc_id, count(*) as n_grams, sum(r.llr_micro) as micro from b join ratios r using (bucket) group by b.doc_id), "
+            "iw as (select doc_id, n_grams, round(micro / 1000000.0, 6) as log_weight from sc "
+            "  union all select doc_id, 0 as n_grams, 0.0 as log_weight from toks where len(ts) < 1), "
+            "pert as (select doc_id, n_grams, log_weight, round(log_weight / 2.0 - ln(-ln("
+            "  (cast(concat('0x', substr(md5(concat('dsir', '#', cast(doc_id as varchar))), 1, 13)) as bigint) + 1.0) / 4503599627370498.0)), 6) as pw from iw) "
+            "select doc_id, n_grams, log_weight from "
+            "(select *, row_number() over (order by pw desc, doc_id asc) as r from pert) where r <= 100"
         ),
         "multimodal_metadata": (
             "select doc_id, octet_length(encode(text)) as n_bytes, lower(hex(encode(substr(text, 1, 8)))) as header_hex from documents"

@@ -52,6 +52,7 @@ __all__ = [
     "c4_line_filter",
     "importance_weights",
     "select_top_k_by_weight",
+    "gumbel_sample_by_weight",
 ]
 
 
@@ -431,6 +432,42 @@ def select_top_k_by_weight(
     ranks = global_sort_ranks(keyed, "_sk", id_col, bucket_prefix_len="auto")
     sel = ranks.filter(F.col("rank") <= k).select(F.col("id").alias(id_col))
     return scored.join(sel, id_col)
+
+
+def gumbel_sample_by_weight(
+    scored: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    seed: str = "dsir",
+    weight_col: str = "log_weight",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The DSIR paper's actual resampling: Gumbel-top-k sampling WITHOUT
+    replacement — draw k documents with probability proportional to
+    exp(weight / temperature), by perturbing each weight with standard
+    Gumbel noise and taking the top k (the Gumbel-max trick; one pass, no
+    sequential draws). Deterministic: the Gumbel variate derives from
+    md5(seed, id), so the same seed + corpus reproduces the same sample on
+    any engine and any partitioning — same device as
+    ``packing.deterministic_split``. Higher ``temperature`` flattens the
+    draw toward uniform; ``temperature -> 0`` recovers the deterministic
+    ``select_top_k_by_weight``.
+
+    Physical shape: a pure projection (the perturbed key) on top of the
+    same bucketed two-level top-k as ``select_top_k_by_weight`` — nothing
+    new shuffles. Returns the sampled rows of ``scored`` unchanged."""
+    space = float(16 ** 13)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", F.lit(seed), F.col(id_col).cast("string"))), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        + 1.0
+    ) / (space + 2.0)  # uniform in (0, 1), endpoints excluded
+    perturbed = F.round(F.col(weight_col) / float(temperature) - F.log(-F.log(u)), 6)
+    keyed = scored.withColumn("_pw", perturbed)
+    return select_top_k_by_weight(keyed, k, weight_col="_pw", id_col=id_col).drop("_pw")
 
 
 # Patterns limited to the Java-regex ∩ RE2 common subset (no backrefs, no

@@ -228,3 +228,24 @@ def test_select_top_k_by_weight_exact_and_tie_stable(spark):
     assert got == [1, 3, 4, 7]
     # k beyond the table returns everything
     assert len(select_top_k_by_weight(scored, k=100).collect()) == 8
+
+
+def test_gumbel_sample_deterministic_and_weight_biased(spark):
+    """Gumbel-top-k: same seed reproduces the same sample regardless of
+    partitioning; different seeds differ; heavier weights are sampled far
+    more often (probability ∝ exp(weight/T))."""
+    from pilsner_spark.operators.text_filters import gumbel_sample_by_weight
+
+    rows = [(i, 3.0 if i <= 10 else -3.0) for i in range(1, 101)]
+    scored = spark.createDataFrame(rows, "doc_id long, log_weight double")
+    a = sorted(r.doc_id for r in gumbel_sample_by_weight(scored, k=10, seed="s1").collect())
+    b = sorted(
+        r.doc_id
+        for r in gumbel_sample_by_weight(scored.repartition(7), k=10, seed="s1").collect()
+    )
+    c = sorted(r.doc_id for r in gumbel_sample_by_weight(scored, k=10, seed="s2").collect())
+    assert a == b and len(a) == 10
+    assert a != c
+    # the 10 heavy docs (weight +3 vs -3, a 403x odds ratio each) dominate
+    heavy = sum(1 for d in a if d <= 10)
+    assert heavy >= 8, a
