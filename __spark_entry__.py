@@ -917,6 +917,16 @@ def q_sample_quality_gumbel(spark, sf_dir):
     return gumbel_sample_by_weight(scored, k=100, temperature=2.0)
 
 
+def q_quality_bigram_lm(spark, sf_dir):
+    """CCNet-style perplexity filtering stand-in: every document scored by
+    mean bigram log-probability under an add-1-smoothed bigram LM trained
+    on the source='src0' slice (the high-quality-corpus stand-in)."""
+    from pilsner_spark.operators.text_filters import bigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob_score(docs, docs.filter(F.col("source") == "src0"))
+
+
 def q_multimodal_metadata(spark, sf_dir):
     """Opaque binary column plumbing: treat text bytes as a blob, extract
     typed metadata (size, header hex) — the schema/partitioning pattern for
@@ -1064,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_weights": q_importance_weights,
         "select_quality_topk": q_select_quality_topk,
         "sample_quality_gumbel": q_sample_quality_gumbel,
+        "quality_bigram_lm": q_quality_bigram_lm,
         "multimodal_metadata": q_multimodal_metadata,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -1724,6 +1735,19 @@ def oracle_sql() -> dict[str, str]:
             "  (cast(concat('0x', substr(md5(concat('dsir', '#', cast(doc_id as varchar))), 1, 13)) as bigint) + 1.0) / 4503599627370498.0)), 6) as pw from iw) "
             "select doc_id, n_grams, log_weight from "
             "(select *, row_number() over (order by pw desc, doc_id asc) as r from pert) where r <= 100"
+        ),
+        "quality_bigram_lm": (
+            "with toks as (select doc_id, source, list_filter(string_split(text, ' '), x -> x != '') as ts from documents), "
+            "db0 as (select doc_id, unnest([{'w1': ts[i], 'w2': ts[i + 1]} for i in generate_series(1, len(ts) - 1)]) as u from toks where len(ts) >= 2), "
+            "db as (select doc_id, u.w1 as w1, u.w2 as w2 from db0), "
+            "lmb as (select d.w1, d.w2, count(*) as c2 from db d join toks t using (doc_id) where t.source = 'src0' group by d.w1, d.w2), "
+            "lmu as (select w1, count(*) as c1 from (select unnest(ts) as w1 from toks where source = 'src0') group by w1), "
+            "vocab as (select count(*) as v from lmu), "
+            "sc as (select d.doc_id, count(*) as n_bigrams, sum(cast(round(round("
+            "  ln((coalesce(lmb.c2, 0) + 1.0) / (coalesce(lmu.c1, 0) + 1.0 * vocab.v)), 6) * 1000000) as bigint)) as micro "
+            "  from db d left join lmb on d.w1 = lmb.w1 and d.w2 = lmb.w2 left join lmu on d.w1 = lmu.w1 cross join vocab group by d.doc_id) "
+            "select doc_id, n_bigrams, round(micro / 1000000.0 / n_bigrams, 6) as avg_logprob from sc "
+            "union all select doc_id, 0 as n_bigrams, 0.0 as avg_logprob from toks where len(ts) < 2"
         ),
         "multimodal_metadata": (
             "select doc_id, octet_length(encode(text)) as n_bytes, lower(hex(encode(substr(text, 1, 8)))) as header_hex from documents"

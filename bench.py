@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_semantic",
     "c4_line_filter",
     "importance_weights",
+    "quality_bigram_lm",
     "pack_token_budget",
     "mix_domains",
     "agg_pricing_summary",

@@ -53,6 +53,7 @@ __all__ = [
     "importance_weights",
     "select_top_k_by_weight",
     "gumbel_sample_by_weight",
+    "bigram_logprob_score",
 ]
 
 
@@ -468,6 +469,95 @@ def gumbel_sample_by_weight(
     perturbed = F.round(F.col(weight_col) / float(temperature) - F.log(-F.log(u)), 6)
     keyed = scored.withColumn("_pw", perturbed)
     return select_top_k_by_weight(keyed, k, weight_col="_pw", id_col=id_col).drop("_pw")
+
+
+def bigram_logprob_score(
+    docs: DataFrame,
+    lm_docs: DataFrame,
+    smoothing: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perplexity-style quality scoring (the CCNet recipe, Wenzek et al.
+    2020: score every document under a language model trained on a
+    high-quality corpus; low log-prob = far from the target register).
+    The LM here is the relational stand-in — an add-k-smoothed bigram
+    model over whitespace tokens: P(w2 | w1) = (c(w1 w2) + k) /
+    (c(w1) + k * V), with V = distinct LM unigrams; OOV words fall back to
+    the same smoothed estimate with zero counts.
+
+    Returns (doc_id, n_bigrams, avg_logprob) for EVERY candidate document
+    (docs with < 2 tokens get 0 bigrams and 0.0 — total coverage, same
+    contract as repetition_stats). ``avg_logprob`` is the mean natural-log
+    bigram probability — the negated, length-normalized proxy for
+    perplexity (filter on a threshold or a quantile downstream).
+
+    Physical shape: the two LM count tables are hash aggregations of the
+    LM corpus (map-side partials); the score join shuffles on the gram
+    keys — bigram counts can exceed memory at 100 TB, so unlike the DSIR
+    bucket tables they are NOT broadcast; Spark's AQE picks broadcast
+    automatically when a small LM fits. Per-bigram log-probs round to 6 dp
+    and sum in integer micro-units (order-independent, engine-exact);
+    the per-doc rollup is one hash aggregation."""
+    toks = tokens(F.col(text_col))
+    bi = F.when(
+        F.size(toks) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
+            ),
+        )
+    )
+
+    def doc_bigrams(d):
+        return d.select(
+            F.col(id_col).alias("doc_id"), F.explode(bi).alias("b")
+        ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+
+    lm_bi = doc_bigrams(lm_docs).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    lm_uni = (
+        lm_docs.select(F.explode(tokens(F.col(text_col))).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = lm_uni.agg(F.count(F.lit(1)).alias("v"))
+    k = float(smoothing)
+    scored = (
+        doc_bigrams(docs)
+        .join(lm_bi, ["w1", "w2"], "left")
+        .join(lm_uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp_micro",
+            F.round(
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("c2"), F.lit(0)) + k)
+                        / (F.coalesce(F.col("c1"), F.lit(0)) + k * F.col("v"))
+                    ),
+                    6,
+                )
+                * 1e6
+            ).cast("bigint"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp_micro").alias("micro"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("micro") / 1e6 / F.col("n_bigrams"), 6).alias("avg_logprob"),
+        )
+    )
+    short = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")).filter(
+        F.size(tokens(F.col("_t"))) < 2
+    )
+    return scored.unionByName(
+        short.select(
+            "doc_id", F.lit(0).cast("bigint").alias("n_bigrams"), F.lit(0.0).alias("avg_logprob")
+        )
+    )
 
 
 # Patterns limited to the Java-regex ∩ RE2 common subset (no backrefs, no

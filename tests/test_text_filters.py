@@ -249,3 +249,24 @@ def test_gumbel_sample_deterministic_and_weight_biased(spark):
     # the 10 heavy docs (weight +3 vs -3, a 403x odds ratio each) dominate
     heavy = sum(1 for d in a if d <= 10)
     assert heavy >= 8, a
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Add-1 bigram LM on a 2-bigram corpus, hand-computed probabilities:
+    seen bigram scores ln((1+1)/(1+V)), unseen-context OOV scores
+    ln(1/(0+V)); short docs get explicit zeros (total coverage)."""
+    import math
+
+    from pilsner_spark.operators.text_filters import bigram_logprob_score
+
+    lm = _docs(spark, [(100, "a b c")])  # bigrams: (a,b), (b,c); V=3
+    docs = _docs(spark, [(1, "a b"), (2, "z q"), (3, "solo"), (4, "")])
+    got = {r.doc_id: r for r in bigram_logprob_score(docs, lm).collect()}
+    # doc 1: P(b|a) = (1+1)/(1+3) = 0.5
+    assert got[1].n_bigrams == 1
+    assert got[1].avg_logprob == pytest.approx(round(round(math.log(0.5), 6), 6), abs=1e-6)
+    # doc 2: c2=0, c1(z)=0 -> (0+1)/(0+3)
+    assert got[2].avg_logprob == pytest.approx(round(math.log(1 / 3), 6), abs=1e-6)
+    assert got[1].avg_logprob > got[2].avg_logprob  # in-domain scores higher
+    assert (got[3].n_bigrams, got[3].avg_logprob) == (0, 0.0)
+    assert (got[4].n_bigrams, got[4].avg_logprob) == (0, 0.0)
