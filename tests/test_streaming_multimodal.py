@@ -725,3 +725,55 @@ def test_streaming_minhash_neardup_stateful(spark, tmp_path):
     dropped = {r.id_a for r in out_s.filter("kind = 'dropped'").select("id_a").distinct().collect()}
     assert dropped == {"d4"}
     assert out_s.filter("kind = 'dropped' and id_b is not null").count() == 0
+
+
+def test_streaming_hygiene_projections_match_batch(spark, tmp_path):
+    """C4 line cleaning and PII redaction are pure projections, so they
+    compose with Structured Streaming unchanged (append mode, no state):
+    the streamed results are pinned row-for-row to the batch operators."""
+    from pilsner_spark.operators.text_filters import c4_line_filter, redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat today.\nshort bit.\nanother good long sentence here!"),
+            (2, "mail me at bob@example.com or 10.0.0.1 with ref 123456789"),
+            (3, "lorem ipsum dolor sit amet sequence.\nperfectly good line of words here."),
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "hyg_in")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    q1 = (
+        c4_line_filter(stream, min_words_per_line=5, min_lines_kept=1)
+        .writeStream.format("memory")
+        .queryName("c4_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = (
+        redact_pii(stream)
+        .writeStream.format("memory")
+        .queryName("pii_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    got_c4 = {
+        r.doc_id: (r.n_lines_kept, r.doc_kept, r.cleaned_text)
+        for r in spark.sql("select * from c4_stream").collect()
+    }
+    exp_c4 = {
+        r.doc_id: (r.n_lines_kept, r.doc_kept, r.cleaned_text)
+        for r in c4_line_filter(docs, min_words_per_line=5, min_lines_kept=1).collect()
+    }
+    assert got_c4 == exp_c4 and set(got_c4) == {1, 2, 3}
+    assert got_c4[3][1] is False  # doc blocklist holds on the stream too
+
+    got_pii = {r.doc_id: r.redacted for r in spark.sql("select * from pii_stream").collect()}
+    exp_pii = {r.doc_id: r.redacted for r in redact_pii(docs).collect()}
+    assert got_pii == exp_pii
+    assert "<PII:email>" in got_pii[2] and "<PII:ipv4>" in got_pii[2]
