@@ -917,6 +917,15 @@ def q_sample_quality_gumbel(spark, sf_dir):
     return gumbel_sample_by_weight(scored, k=100, temperature=2.0)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Long-document chunking: 16-token windows with 4 tokens of overlap
+    (stride 12) — every document split into model-context-sized pieces,
+    pure projection, last chunk short, empty docs keep one empty chunk."""
+    from pilsner_spark.operators.packing import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=16, overlap=4)
+
+
 def q_quality_bigram_lm(spark, sf_dir):
     """CCNet-style perplexity filtering stand-in: every document scored by
     mean bigram log-probability under an add-1-smoothed bigram LM trained
@@ -1075,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_quality_topk": q_select_quality_topk,
         "sample_quality_gumbel": q_sample_quality_gumbel,
         "quality_bigram_lm": q_quality_bigram_lm,
+        "chunk_documents": q_chunk_documents,
         "multimodal_metadata": q_multimodal_metadata,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -1748,6 +1758,12 @@ def oracle_sql() -> dict[str, str]:
             "  from db d left join lmb on d.w1 = lmb.w1 and d.w2 = lmb.w2 left join lmu on d.w1 = lmu.w1 cross join vocab group by d.doc_id) "
             "select doc_id, n_bigrams, round(micro / 1000000.0 / n_bigrams, 6) as avg_logprob from sc "
             "union all select doc_id, 0 as n_bigrams, 0.0 as avg_logprob from toks where len(ts) < 2"
+        ),
+        "chunk_documents": (
+            "with toks as (select doc_id, list_filter(string_split(text, ' '), x -> x != '') as ts from documents), "
+            "st as (select doc_id, ts, unnest([s for s in generate_series(1, greatest(1, len(ts) - 4), 12)]) as s from toks) "
+            "select doc_id, cast((s - 1) // 12 as int) as chunk_idx, len(ts[s : s + 15]) as n_tokens, "
+            "array_to_string(ts[s : s + 15], ' ') as chunk_text from st"
         ),
         "multimodal_metadata": (
             "select doc_id, octet_length(encode(text)) as n_bytes, lower(hex(encode(substr(text, 1, 8)))) as header_hex from documents"

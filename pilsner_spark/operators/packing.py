@@ -249,6 +249,48 @@ def mix_to_proportions(
     )
 
 
+def chunk_documents(
+    records: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's whitespace-token stream into fixed-size
+    chunks with ``overlap`` tokens of context carried between consecutive
+    chunks (stride = chunk_tokens - overlap) — the long-document
+    preprocessing step that runs before packing/training so no sequence
+    exceeds the model context. The final chunk may be short; a chunk
+    starting inside the last ``overlap`` tokens would be pure repeat, so
+    starts stop at max(1, n_tokens - overlap). Empty/whitespace-only
+    documents emit one empty chunk (total coverage — every doc stays
+    visible downstream).
+
+    Returns (doc_id, chunk_idx, n_tokens, chunk_text). Pure projection
+    (sequence + slice + posexplode under codegen): zero shuffles, zero
+    UDFs — scan-speed at any corpus size, and the explode multiplies rows
+    before any wide transform so downstream packing sees chunks as plain
+    documents."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    from pilsner_spark.functions.text import tokens
+
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.size(toks) - overlap), F.lit(stride)
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+    return records.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").alias("n_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
+
+
 def pack_by_budget(
     records: DataFrame,
     sort_col: str,

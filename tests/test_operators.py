@@ -627,3 +627,29 @@ def test_semdedup_keeps_farthest_from_centroid(spark):
     # exactly one keeper per group
     for gid in {r.group_id for r in rows}:
         assert sum(1 for r in rows if r.group_id == gid and r.keep) == 1
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """Fixed-window chunking: stride = chunk - overlap, consecutive chunks
+    share exactly `overlap` tokens, the tail chunk is short, no chunk
+    starts inside the final overlap, and empty docs keep one empty chunk."""
+    from pilsner_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(1, 11))),  # 10 tokens
+            (2, "a b c"),                                   # shorter than one chunk
+            (3, ""),                                        # empty
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {(r.doc_id, r.chunk_idx): r for r in chunk_documents(docs, chunk_tokens=6, overlap=2).collect()}
+    # doc 1: starts 1, 5 (stride 4; start stops at n-overlap=8 -> 1,5 only... 1,5 then 9>8 stops)
+    assert {(i, c) for (i, c) in rows if i == 1} == {(1, 0), (1, 1)}
+    assert rows[(1, 0)].chunk_text == "w1 w2 w3 w4 w5 w6"
+    assert rows[(1, 1)].chunk_text == "w5 w6 w7 w8 w9 w10"
+    # consecutive chunks share exactly `overlap` tokens
+    assert rows[(1, 0)].chunk_text.split()[-2:] == rows[(1, 1)].chunk_text.split()[:2]
+    assert rows[(2, 0)].chunk_text == "a b c" and rows[(2, 0)].n_tokens == 3
+    assert rows[(3, 0)].chunk_text == "" and rows[(3, 0)].n_tokens == 0
+    assert len(rows) == 4
