@@ -201,6 +201,43 @@ CHECKS = {
             ("no Python nodes", r"EvalPython|MapInPandas"),
         ],
     },
+    # chunking is a pure projection: sequence/slice/posexplode under
+    # codegen — no shuffle, no Python
+    "chunk_documents": {
+        "want": [
+            ("explode is a Generate node", r"Generate"),
+            ("whole-stage codegen (or AQE runtime-compiled)", r"codegen id|AdaptiveSparkPlan"),
+        ],
+        "avoid": [
+            ("no shuffle at all (pure projection)", r"Exchange"),
+            ("no Python nodes", r"EvalPython|MapInPandas"),
+        ],
+    },
+    # bigram LM scoring: LM count tables join on gram keys (NOT broadcast
+    # by hand — they can exceed memory at corpus scale; AQE may still pick
+    # broadcast at this size, either join strategy is acceptable), per-doc
+    # rollup partial-aggregates, no Python anywhere
+    "quality_bigram_lm": {
+        "want": [
+            ("hash aggregation with partials", r"HashAggregate"),
+            ("whole-stage codegen (or AQE runtime-compiled)", r"codegen id|AdaptiveSparkPlan"),
+        ],
+        "avoid": [
+            ("no Python nodes", r"EvalPython|MapInPandas"),
+        ],
+    },
+    # DSIR top-k selection: two-level rank — bucket offsets broadcast, the
+    # only windows are per-bucket (bk) or over the tiny bucket table
+    "select_quality_topk": {
+        "want": [
+            ("bucket offsets broadcast back over records", r"BroadcastHashJoin"),
+            ("rank window partitioned by bucket", r"windowspecdefinition\(bk#"),
+            ("whole-stage codegen (or AQE runtime-compiled)", r"codegen id|AdaptiveSparkPlan"),
+        ],
+        "avoid": [
+            ("no Python nodes", r"EvalPython|MapInPandas"),
+        ],
+    },
     # stage 2 = JW/Lev on the undecided slice, filter pushed into the scan
     "er_jw_slice": {
         "want": [
