@@ -926,6 +926,57 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=16, overlap=4)
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (kdb aj / pandas merge_asof shape): every purchase event
+    picks up the user's LATEST click at-or-before it — via the union +
+    per-key-window formulation (one shuffle, no nested-loop join). Ties on
+    timestamp break to the greatest click id (deterministic)."""
+    from pilsner_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    out = asof_join(purchases, clicks, on="user_id", ts_col="ts", value_cols=["click_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        F.col("click_id_matched").alias("click_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp_ltz")) - F.unix_micros(F.col("ts_matched").cast("timestamp_ltz"))).alias("gap_us"),
+    )
+
+
+def q_events_range_join(spark, sf_dir):
+    """Point-in-interval range join as an equi-join: every click falling
+    inside a [purchase, purchase + 4 h] window of the same user —
+    intervals exploded to 1-hour time buckets, hash-joined on
+    (user, bucket), exact bounds as the residual filter."""
+    from pilsner_spark.operators.temporal import range_join_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    intervals = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("end"),
+    )
+    out = range_join_buckets(
+        clicks, intervals, on="user_id", ts_col="ts", start_col="start", end_col="end",
+        bucket_seconds=3600,
+    )
+    return out.select(
+        "user_id",
+        F.col("i_purchase_id").alias("purchase_id"),
+        F.col("p_click_id").alias("click_id"),
+        (F.unix_micros(F.col("p_ts").cast("timestamp_ltz")) - F.unix_micros(F.col("i_start").cast("timestamp_ltz"))).alias("offset_us"),
+    )
+
+
 def q_quality_bigram_lm(spark, sf_dir):
     """CCNet-style perplexity filtering stand-in: every document scored by
     mean bigram log-probability under an add-1-smoothed bigram LM trained
@@ -1085,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_quality_gumbel": q_sample_quality_gumbel,
         "quality_bigram_lm": q_quality_bigram_lm,
         "chunk_documents": q_chunk_documents,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
         "multimodal_metadata": q_multimodal_metadata,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -1764,6 +1817,22 @@ def oracle_sql() -> dict[str, str]:
             "st as (select doc_id, ts, unnest([s for s in generate_series(1, greatest(1, len(ts) - 4), 12)]) as s from toks) "
             "select doc_id, cast((s - 1) // 12 as int) as chunk_idx, len(ts[s : s + 15]) as n_tokens, "
             "array_to_string(ts[s : s + 15], ' ') as chunk_text from st"
+        ),
+        "events_asof_join": (
+            "with p as (select user_id, event_id, ts from events where event_type = 'purchase'), "
+            "c as (select user_id, event_id as click_id, ts from events where event_type = 'click'), "
+            "m as (select p.user_id, p.event_id, p.ts, c.click_id, c.ts as cts, "
+            "  row_number() over (partition by p.event_id order by c.ts desc, c.click_id desc) as r "
+            "  from p left join c on c.user_id = p.user_id and c.ts <= p.ts) "
+            "select user_id, event_id, epoch_us(ts) as ts_us, click_id, "
+            "case when click_id is null then null else epoch_us(ts) - epoch_us(cts) end as gap_us "
+            "from m where r = 1"
+        ),
+        "events_range_join": (
+            "with c as (select user_id, event_id as click_id, ts from events where event_type = 'click'), "
+            "i as (select user_id, event_id as purchase_id, ts as s, ts + interval 4 hour as e from events where event_type = 'purchase') "
+            "select c.user_id, i.purchase_id, c.click_id, epoch_us(c.ts) - epoch_us(i.s) as offset_us "
+            "from c join i on c.user_id = i.user_id and c.ts >= i.s and c.ts <= i.e"
         ),
         "multimodal_metadata": (
             "select doc_id, octet_length(encode(text)) as n_bytes, lower(hex(encode(substr(text, 1, 8)))) as header_hex from documents"

@@ -653,3 +653,55 @@ def test_chunk_documents_windows_and_edges(spark):
     assert rows[(2, 0)].chunk_text == "a b c" and rows[(2, 0)].n_tokens == 3
     assert rows[(3, 0)].chunk_text == "" and rows[(3, 0)].n_tokens == 0
     assert len(rows) == 4
+
+
+def test_asof_join_backward_with_ties_and_no_match(spark):
+    """Hand-computed as-of: latest right at-or-before each left per key;
+    equal-timestamp rights qualify with max-tiebreak winning; a left with
+    no prior right keeps nulls; keys never leak across."""
+    from datetime import datetime
+
+    from pilsner_spark.operators.temporal import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 101, t(10)), (1, 102, t(3)), (2, 201, t(5))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 11, t(4)), (1, 12, t(10)), (1, 13, t(10)), (1, 14, t(11)), (3, 31, t(1))],
+        "user_id long, click_id long, ts timestamp",
+    )
+    got = {r.event_id: r for r in asof_join(left, right, on="user_id").collect()}
+    assert got[101].click_id_matched == 13  # ties at t=10 -> max click_id
+    assert got[102].click_id_matched is None  # earliest right is t=4 > t=3
+    assert got[201].click_id_matched is None  # user 2 has no rights; user 3's never leak
+    assert got[101].ts_matched is not None and got[102].ts_matched is None
+
+
+def test_range_join_buckets_matches_naive(spark):
+    """The bucketed equi-join returns exactly the naive inequality join's
+    pairs, including intervals spanning multiple buckets, with no
+    duplicate pairs."""
+    from datetime import datetime
+
+    from pilsner_spark.operators.temporal import range_join_buckets
+
+    t = lambda m: datetime(2024, 1, 1, 0, m, 0)
+    points = spark.createDataFrame(
+        [(1, 11, t(1)), (1, 12, t(9)), (1, 13, t(31)), (2, 21, t(5))],
+        "user_id long, pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 91, t(0), t(30)), (2, 92, t(6), t(7))],
+        "user_id long, iid long, start timestamp, end timestamp",
+    )
+    got = sorted(
+        (r.user_id, r.i_iid, r.p_pid)
+        for r in range_join_buckets(
+            points, intervals, on="user_id", bucket_seconds=600
+        ).collect()
+    )
+    # naive: interval 91 covers points 11 and 12 (13 is at minute 31 > 30);
+    # interval 92 covers nothing (point 21 at minute 5 < 6)
+    assert got == [(1, 91, 11), (1, 91, 12)]

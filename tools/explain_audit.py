@@ -238,6 +238,32 @@ CHECKS = {
             ("no Python nodes", r"EvalPython|MapInPandas"),
         ],
     },
+    # as-of join via union + per-key window: ONE shuffle (the window
+    # sort), no join node of any kind — the whole point vs the naive
+    # inequality join's BroadcastNestedLoopJoin
+    "events_asof_join": {
+        "want": [
+            ("per-key window", r"windowspecdefinition\(user_id"),
+            ("whole-stage codegen (or AQE runtime-compiled)", r"codegen id|AdaptiveSparkPlan"),
+        ],
+        "avoid": [
+            ("no nested-loop join", r"BroadcastNestedLoopJoin"),
+            ("no join node at all (union+window formulation)", r"Join"),
+            ("no Python nodes", r"EvalPython|MapInPandas"),
+        ],
+    },
+    # range join as bucket equi-join: a HASH join on (key, bucket), the
+    # inequality only as a post-join filter
+    "events_range_join": {
+        "want": [
+            ("hash equi-join on the bucket key", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("interval explode is a Generate", r"Generate"),
+        ],
+        "avoid": [
+            ("no nested-loop join", r"BroadcastNestedLoopJoin"),
+            ("no Python nodes", r"EvalPython|MapInPandas"),
+        ],
+    },
     # stage 2 = JW/Lev on the undecided slice, filter pushed into the scan
     "er_jw_slice": {
         "want": [
