@@ -977,6 +977,19 @@ def q_events_range_join(spark, sf_dir):
     )
 
 
+def q_matcher_training_pairs(spark, sf_dir):
+    """Labeled matcher-training pairs from resolution output: lang stands
+    in for the cluster assignment and source for the blocking key —
+    star positives per cluster + md5-Bernoulli(0.1)-sampled same-block
+    cross-cluster hard negatives, fully deterministic."""
+    from pilsner_spark.operators.training import matcher_training_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    assignments = docs.select(F.col("doc_id").alias("turn_key"), F.col("lang").alias("cluster_id"))
+    blocks = docs.select(F.col("source").alias("block_key"), F.col("doc_id").alias("turn_key"))
+    return matcher_training_pairs(assignments, blocks, neg_sample_frac=0.1)
+
+
 def q_quality_bigram_lm(spark, sf_dir):
     """CCNet-style perplexity filtering stand-in: every document scored by
     mean bigram log-probability under an add-1-smoothed bigram LM trained
@@ -1138,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
+        "matcher_training_pairs": q_matcher_training_pairs,
         "multimodal_metadata": q_multimodal_metadata,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -1833,6 +1847,19 @@ def oracle_sql() -> dict[str, str]:
             "i as (select user_id, event_id as purchase_id, ts as s, ts + interval 4 hour as e from events where event_type = 'purchase') "
             "select c.user_id, i.purchase_id, c.click_id, epoch_us(c.ts) - epoch_us(i.s) as offset_us "
             "from c join i on c.user_id = i.user_id and c.ts >= i.s and c.ts <= i.e"
+        ),
+        "matcher_training_pairs": (
+            "with a as (select doc_id as id, lang as cl from documents), "
+            "canon as (select cl, min(id) as canon from a group by cl), "
+            "pos as (select least(id, canon) as id_a, greatest(id, canon) as id_b, 1.0 as label, 'same_cluster' as source "
+            "  from a join canon using (cl) where id != canon), "
+            "b as (select source as bk, doc_id as id, lang as cl from documents), "
+            "okb as (select bk from b group by bk having count(distinct id) between 2 and 200), "
+            "cross0 as (select distinct least(x.id, y.id) as id_a, greatest(x.id, y.id) as id_b "
+            "  from b x join b y using (bk) join okb using (bk) where x.id < y.id and x.cl != y.cl), "
+            "neg as (select id_a, id_b, 0.0 as label, 'hard_negative' as source from cross0 "
+            "  where cast(concat('0x', substr(md5(concat('pairs', '#', cast(id_a as varchar), '#', cast(id_b as varchar))), 1, 15)) as bigint) < 115292150460684704) "
+            "select * from pos union all select * from neg"
         ),
         "multimodal_metadata": (
             "select doc_id, octet_length(encode(text)) as n_bytes, lower(hex(encode(substr(text, 1, 8)))) as header_hex from documents"

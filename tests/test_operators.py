@@ -705,3 +705,33 @@ def test_range_join_buckets_matches_naive(spark):
     # naive: interval 91 covers points 11 and 12 (13 is at minute 31 > 30);
     # interval 92 covers nothing (point 21 at minute 5 < 6)
     assert got == [(1, 91, 11), (1, 91, 12)]
+
+
+def test_matcher_training_pairs_labels_and_sampling(spark):
+    """Star positives (member, cluster-min) only; hard negatives are
+    same-block cross-cluster pairs; within-cluster block pairs never leak
+    into negatives; frac=1.0 keeps every negative; pairs are ordered and
+    unique."""
+    from pilsner_spark.operators.training import matcher_training_pairs
+
+    assignments = spark.createDataFrame(
+        [(1, "c1"), (2, "c1"), (3, "c1"), (4, "c2"), (5, "c3")],
+        "turn_key long, cluster_id string",
+    )
+    blocks = spark.createDataFrame(
+        [("b1", 1), ("b1", 2), ("b1", 4), ("b2", 4), ("b2", 5), ("b3", 3)],
+        "block_key string, turn_key long",
+    )
+    rows = matcher_training_pairs(assignments, blocks, neg_sample_frac=1.0).collect()
+    pos = {(r.id_a, r.id_b) for r in rows if r.label == 1.0}
+    neg = {(r.id_a, r.id_b) for r in rows if r.label == 0.0}
+    assert pos == {(1, 2), (1, 3)}  # star to canonical 1, not the (2,3) clique edge
+    assert neg == {(1, 4), (2, 4), (4, 5)}  # cross-cluster within b1/b2; (1,2) same-cluster excluded
+    assert len(rows) == len(pos) + len(neg)  # ordered + distinct
+    # sampling is a deterministic subset
+    sampled = {
+        (r.id_a, r.id_b)
+        for r in matcher_training_pairs(assignments, blocks, neg_sample_frac=0.5).collect()
+        if r.label == 0.0
+    }
+    assert sampled <= neg
