@@ -1,7 +1,9 @@
 """Deduplication operators for training-data pipelines.
 
 Exact (hash group-by), MinHash+LSH (shingle -> minhash -> band -> bucket
-self-join), SimHash, and n-gram Jaccard — all as DataFrame compositions with
+self-join), SimHash, n-gram Jaccard, embedding-cosine (brute + IVF scale
+path), SemDeDup semantic dedup, cross-snapshot incremental dedup, and the
+transitive keep/drop decision — all as DataFrame compositions with
 engine-portable hashing (md5-derived, see functions.text.md5_long) so every
 operator has a DuckDB oracle. At scale the band self-join is the shuffle to
 watch: band keys are the blocking keys, and the same salting/AQE treatment

@@ -1,7 +1,10 @@
-"""Corpus-hygiene operators for large-scale training-data pipelines:
-benchmark decontamination, repetition-based quality stats, PII redaction.
+"""Corpus-hygiene and data-selection operators for large-scale
+training-data pipelines: benchmark decontamination, repetition-based
+quality stats, substring-level dedup, PII redaction, C4 line-level
+cleaning, DSIR importance weighting + (top-k / Gumbel) selection, and
+bigram-LM perplexity scoring.
 
-All three are public-method reimplementations over the `documents` table
+All are public-method reimplementations over the `documents` table
 shape (doc_id, text, ...):
 
 - ``decontaminate``: n-gram-overlap contamination flagging (the GPT-3 /
