@@ -825,6 +825,42 @@ def q_quality_repetition(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
 
 
+def q_quality_gopher_rules(spark, sf_dir):
+    """Full Gopher quality-rule filter (Rae et al. 2021 §A1.1) over the
+    documents table, with document structure planted deterministically
+    (the synthetic corpus is flat prose): ' table ' seams become bullet
+    lines, ' line ' seams become ellipsis line ends, every 9th doc gains a
+    '#' symbol run and every 17th a unicode-ellipsis tail. Thresholds are
+    tightened to the corpus' 10-99-token scale so both keep outcomes
+    occur; all eight signals + the combined verdict are returned."""
+    from pilsner_spark.operators.text_filters import gopher_quality_rules
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.replace(
+                F.replace(F.col("text"), F.lit(" table "), F.lit("\n- ")),
+                F.lit(" line "),
+                F.lit("...\n"),
+            ),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(" # # #")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0, F.lit(" … …")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return gopher_quality_rules(
+        base,
+        min_words=30,
+        max_words=100_000,
+        min_mean_word_len=4.0,
+        max_mean_word_len=10.0,
+        max_symbol_word_ratio=0.05,
+        max_bullet_line_frac=0.4,
+        max_ellipsis_line_frac=0.4,
+        min_alpha_word_frac=0.9,
+        min_stopword_hits=2,
+    )
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII scrub over deterministically planted PII shapes (emails on
     doc_id%7, IPv4 on %11, long digit runs on %13 — the corpus itself is
@@ -1141,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         "quality_repetition": q_quality_repetition,
+        "quality_gopher_rules": q_quality_gopher_rules,
         "pii_redaction": q_pii_redaction,
         "dedup_semantic": q_dedup_semantic,
         "c4_line_filter": q_c4_line_filter,
@@ -1355,6 +1392,9 @@ def oracle_sql() -> dict[str, str]:
         for r in build_sample_model().synonyms
     )
     stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    from pilsner_spark.operators.text_filters import GOPHER_STOPWORDS
+
+    gopher_stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
 
     return {
         "b3_projection_filter": (
@@ -1716,6 +1756,36 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, round(1.0 - cast(n_distinct as double) / total, 6) as dup_ngram_frac, "
             "round(cast(top_c as double) / total, 6) as top_ngram_frac from st "
             "union all select doc_id, 0.0 as dup_ngram_frac, 0.0 as top_ngram_frac from toks where len(ts) < 2"
+        ),
+        "quality_gopher_rules": (
+            "with t0 as (select doc_id, concat("
+            "  replace(replace(text, ' table ', chr(10) || '- '), ' line ', '...' || chr(10)), "
+            "  case when doc_id % 9 = 0 then ' # # #' else '' end, "
+            "  case when doc_id % 17 = 0 then ' … …' else '' end) as text from documents), "
+            "m as (select doc_id, text, "
+            "  list_filter(string_split(text, ' '), x -> x != '') as ts, "
+            "  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x != '') as lines from t0), "
+            "s as (select doc_id, len(ts) as nw, len(lines) as nl, "
+            "  length(text) - length(replace(text, '#', '')) as n_hash, "
+            "  cast((length(text) - length(replace(text, '...', ''))) / 3 as bigint) as n_dots, "
+            "  length(text) - length(replace(text, '…', '')) as n_uni, "
+            "  len(list_filter(lines, x -> regexp_matches(x, '^[-*•]'))) as n_bullet, "
+            "  len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) as n_ellip, "
+            "  len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]'))) as n_alpha, "
+            f"  len(list_filter(ts, x -> lower(x) in ({gopher_stop_list}))) as stop_hits, "
+            "  case when len(ts) = 0 then 0.0 else round(cast(list_sum(list_transform(ts, x -> length(x))) as double) / len(ts), 6) end as mean_wl "
+            "  from m), "
+            "r as (select doc_id, nw, mean_wl, stop_hits, "
+            "  case when nw = 0 then 0.0 else round(cast(n_hash + n_dots + n_uni as double) / nw, 6) end as symbol_ratio, "
+            "  case when nl = 0 then 0.0 else round(cast(n_bullet as double) / nl, 6) end as bullet_frac, "
+            "  case when nl = 0 then 0.0 else round(cast(n_ellip as double) / nl, 6) end as ellip_frac, "
+            "  case when nw = 0 then 0.0 else round(cast(n_alpha as double) / nw, 6) end as alpha_frac from s) "
+            "select doc_id, nw as n_words, mean_wl as mean_word_len, symbol_ratio as symbol_word_ratio, "
+            "bullet_frac as bullet_line_frac, ellip_frac as ellipsis_line_frac, alpha_frac as alpha_word_frac, "
+            "stop_hits as stopword_hits, "
+            "(nw >= 30 and nw <= 100000 and mean_wl >= 4.0 and mean_wl <= 10.0 "
+            " and symbol_ratio <= 0.05 and bullet_frac <= 0.4 and ellip_frac <= 0.4 "
+            " and alpha_frac >= 0.9 and stop_hits >= 2) as gopher_keep from r"
         ),
         "pii_redaction": (
             "with t0 as (select doc_id, concat(text, case "

@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_semantic",
     "c4_line_filter",
+    "quality_gopher_rules",
     "importance_weights",
     "quality_bigram_lm",
     "pack_token_budget",

@@ -174,6 +174,68 @@ def test_c4_line_filter_each_rule(spark):
     assert (out[3].n_lines_kept, out[3].doc_kept) == (1, False)
 
 
+def test_gopher_quality_rules_each_rule(spark):
+    """One document per Gopher rule (Rae et al. 2021 §A1.1), thresholds
+    shrunk to hand-checkable sizes; doc 1 passes everything."""
+    from pilsner_spark.operators.text_filters import gopher_quality_rules
+
+    rows = [
+        (1, "the cat sat on mat"),  # 5 words, mean 2.8, stop 'the' -> keep
+        (2, "the cat"),  # fails min_words=5
+        (3, "the a b c d e f g h i j"),  # 11 words > max_words=10
+        (4, "the absolutely extraordinary incomprehensible catastrophic"),  # mean 10.8 > 6
+        (5, "the cat # # sat on mat ..."),  # 2 '#' + 1 '...' over 8 words = 0.375 > 0.2
+        (6, "- the cat sat\n- on a mat\nplain line here"),  # 2/3 bullet lines > 0.5
+        (7, "the cat sat fine...\nok fine go on then...\nplain line"),  # 2/3 ellipsis lines
+        (8, "the 123 456 789 000"),  # alpha 1/5 < 0.8
+        (9, "cat sat mat dog bird"),  # 0 stopword hits < 1
+        (10, ""),  # empty: all signals zero, keep false
+    ]
+    out = {
+        r.doc_id: r
+        for r in gopher_quality_rules(
+            _docs(spark, rows),
+            min_words=5,
+            max_words=10,
+            min_mean_word_len=2.0,
+            max_mean_word_len=6.0,
+            max_symbol_word_ratio=0.2,
+            max_bullet_line_frac=0.5,
+            max_ellipsis_line_frac=0.5,
+            min_alpha_word_frac=0.8,
+            min_stopword_hits=1,
+        ).collect()
+    }
+    assert {d: out[d].gopher_keep for d in out} == {
+        1: True, 2: False, 3: False, 4: False, 5: False,
+        6: False, 7: False, 8: False, 9: False, 10: False,
+    }
+    assert (out[1].n_words, out[1].mean_word_len, out[1].stopword_hits) == (5, 2.8, 1)
+    assert out[4].mean_word_len == 10.8
+    assert out[5].symbol_word_ratio == 0.375
+    assert out[6].bullet_line_frac == 0.666667
+    assert out[7].ellipsis_line_frac == 0.666667
+    assert out[8].alpha_word_frac == 0.2
+    assert out[9].stopword_hits == 0
+    assert (out[10].n_words, out[10].mean_word_len, out[10].symbol_word_ratio) == (0, 0.0, 0.0)
+
+
+def test_gopher_quality_rules_is_pure_projection(spark):
+    """The full rule set must stay a single codegen'd projection: no
+    exchange, no UDF, no explode in the executed plan."""
+    from pilsner_spark.operators.text_filters import gopher_quality_rules
+
+    plan = (
+        gopher_quality_rules(_docs(spark, [(1, "the cat sat on mat")]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_importance_weights_orders_target_like_docs_first(spark):
     """Docs made of target-domain grams must outweigh raw-only docs; the
     gram-less doc gets an explicit 0.0 (total coverage)."""
