@@ -884,6 +884,19 @@ def q_pii_redaction(spark, sf_dir):
     return redact_pii(docs)
 
 
+def q_decontaminate_embedding(spark, sf_dir):
+    """Embedding-space decontamination: every 25th embedding stands in for
+    the eval suite; corpus vectors within cosine 0.3 of any benchmark
+    vector are flagged with hit counts + the closest benchmark witness.
+    The benchmark side is broadcast — corpus embeddings never shuffle."""
+    from pilsner_spark.operators.dedup import embedding_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 25 == 0)
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    return embedding_decontaminate(corpus, bench, threshold=0.3)
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): cluster the embedding space
     (deterministic sample centroids — oracle-exact), call within-cluster
@@ -1180,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher_rules": q_quality_gopher_rules,
         "pii_redaction": q_pii_redaction,
         "dedup_semantic": q_dedup_semantic,
+        "decontaminate_embedding": q_decontaminate_embedding,
         "c4_line_filter": q_c4_line_filter,
         "importance_weights": q_importance_weights,
         "select_quality_topk": q_select_quality_topk,
@@ -1799,6 +1813,16 @@ def oracle_sql() -> dict[str, str]:
             "t3 as (select doc_id, n_email, n_ipv4, len(regexp_extract_all(r, '[0-9]{9,}')) as n_long_digits, "
             "  regexp_replace(r, '[0-9]{9,}', '<PII:long_digits>', 'g') as redacted from t2) "
             "select doc_id, redacted, n_email, n_ipv4, n_long_digits from t3"
+        ),
+        "decontaminate_embedding": (
+            "with bench as (select vec_id as bench_id, cast(embedding as double[]) as b from embeddings where vec_id % 25 = 0), "
+            "corpus as (select vec_id, cast(embedding as double[]) as v from embeddings where vec_id % 25 != 0), "
+            "f as (select c.vec_id, b.bench_id, round(list_cosine_similarity(c.v, b.b), 6) as cosine "
+            "  from corpus c, bench b where round(list_cosine_similarity(c.v, b.b), 6) >= 0.3), "
+            "r as (select vec_id, count(*) as n_hits, max(cosine) as top_cosine from f group by vec_id), "
+            "t as (select f.vec_id, max(f.bench_id) as top_benchmark_id from f join r using (vec_id) "
+            "  where f.cosine = r.top_cosine group by f.vec_id) "
+            "select r.vec_id, r.n_hits, t.top_benchmark_id, r.top_cosine from r join t using (vec_id)"
         ),
         "dedup_semantic": (
             "with recursive v as (select vec_id, cast(embedding as double[]) as emb from embeddings), "

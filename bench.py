@@ -39,6 +39,7 @@ HEADLINE = [
     "substring_dedup",
     "dedup_incremental",
     "dedup_semantic",
+    "decontaminate_embedding",
     "c4_line_filter",
     "quality_gopher_rules",
     "importance_weights",

@@ -382,6 +382,64 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag corpus documents
+    whose embedding is within cosine ``threshold`` of ANY benchmark /
+    eval-set embedding — the semantic complement of the n-gram
+    `text_filters.decontaminate` pass (paraphrased eval leakage that
+    shares no exact token window still lands near the benchmark in
+    embedding space; cf. the contamination audits in Yang et al. 2023
+    "Rethinking Benchmark and Contamination").
+
+    Returns one row per CONTAMINATED corpus document: (vec_id, n_hits =
+    number of benchmark vectors within threshold, top_benchmark_id /
+    top_cosine = the closest benchmark hit, ties broken by the larger
+    benchmark id). Clean documents are absent; anti-join to keep them.
+
+    Physical shape (the 100 TB one): eval suites are tiny next to the
+    corpus, so the BENCHMARK side is broadcast — one corpus scan, a
+    broadcast nested-loop cosine filter (embarrassingly parallel, corpus
+    embeddings never cross an exchange), then a single hash aggregation
+    with map-side partial combine over the (small) matched set. The
+    max-cosine witness rides the same agg as a struct max — no window, no
+    sort. For benchmarks too large to broadcast, pre-filter candidates by
+    IVF cell (operators.ann.ivf_assign on both sides, join on cell) and
+    feed the survivors through the same scoring; this exact form is the
+    oracle-checkable baseline."""
+    from pilsner_spark.functions.similarity import cosine_similarity
+
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"), F.col(vec_col).cast("array<double>").alias("b_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("c_vec")
+    )
+    matched = (
+        c.crossJoin(F.broadcast(b))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("c_vec"), F.col("b_vec")), 6))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return (
+        matched.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max(F.struct(F.col("cosine"), F.col("bench_id"))).alias("top"),
+        )
+        .select(
+            "vec_id",
+            "n_hits",
+            F.col("top.bench_id").alias("top_benchmark_id"),
+            F.col("top.cosine").alias("top_cosine"),
+        )
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     old_docs: DataFrame,

@@ -150,6 +150,35 @@ def test_embedding_ivf_neardup_subset_of_brute(spark, vectors):
     assert ivf <= ivf2 <= brute, (len(ivf), len(ivf2), len(brute))
 
 
+def test_embedding_decontaminate_hand_computed(spark):
+    """Hand-checkable geometry: corpus vec 1 sits on benchmark b10's axis
+    (cos 1.0) and orthogonal to b20; vec 2 is at 45° to both (cos ~0.7071,
+    two hits, tie broken to the LARGER bench id); vec 3 is orthogonal to
+    both (clean, absent). The benchmark side must broadcast."""
+    from pilsner_spark.operators.dedup import embedding_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 1.0]), (3, [0.0, -1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(10, [2.0, 0.0]), (20, [0.0, 3.0])], "vec_id bigint, embedding array<double>"
+    )
+    out = {r.vec_id: r for r in embedding_decontaminate(corpus, bench, threshold=0.5).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].n_hits, out[1].top_benchmark_id, out[1].top_cosine) == (1, 10, 1.0)
+    assert (out[2].n_hits, out[2].top_benchmark_id) == (2, 20)
+    assert out[2].top_cosine == pytest.approx(0.707107)
+    plan = (
+        embedding_decontaminate(corpus, bench, threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_neardup_groups_transitive_decision(spark):
     """neardup_groups turns pairs into the keep/drop decision: chained
     near-dups collapse into ONE group labeled by the min id (transitivity,
