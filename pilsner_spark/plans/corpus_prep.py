@@ -26,7 +26,10 @@ the pipeline a 100 TB pretraining-corpus build actually runs:
    Nothing is dropped silently: the ledger IS a checkpointed stage, and
    per-reason counts land in the metrics dict.
 3. ``corpus_filtered`` — anti-join the ledger, then threshold quality /
-   repetition / length signals (reasons counted before the drop).
+   repetition / length signals (reasons counted before the drop); with
+   ``gopher_params`` set, the full Gopher rule verdict
+   (text_filters.gopher_quality_rules) rides the stats stage as extra
+   pure-projection columns and gates the filter too.
 4. ``splits`` — deterministic hash split (packing.deterministic_split):
    a doc's split never changes when neighbors come or go.
 4.5. ``dsir_selected`` (optional, ``dsir_target`` + ``dsir_top_k``) —
@@ -67,6 +70,7 @@ from pilsner_spark.operators.packing import deterministic_split, pack_by_budget
 from pilsner_spark.operators.text_filters import (
     c4_line_filter,
     decontaminate,
+    gopher_quality_rules,
     importance_weights,
     repetition_stats,
     select_top_k_by_weight,
@@ -137,6 +141,7 @@ def run_corpus_prep(
     pack_budget: int = 512,
     split_seed: str = "corpus",
     c4_params: Optional[dict] = None,
+    gopher_params: Optional[dict] = None,
     dsir_target: Optional[DataFrame] = None,
     dsir_top_k: Optional[int] = None,
     dsir_buckets: int = 64,
@@ -169,6 +174,7 @@ def run_corpus_prep(
         "split_seed": split_seed,
         "has_benchmark": benchmark is not None,
         "c4": sorted(c4_params.items()) if c4_params else None,
+        "gopher": sorted(gopher_params.items()) if gopher_params else None,
         "dsir_top_k": dsir_top_k,
         "dsir_buckets": dsir_buckets,
         "has_dsir_target": dsir_target is not None,
@@ -197,7 +203,13 @@ def run_corpus_prep(
             lang_id(F.col("text")).alias("lang_pred"),
         )
         rep = repetition_stats(docs, n=2)
-        return base.join(rep, "doc_id")
+        out = base.join(rep, "doc_id")
+        if gopher_params is not None:
+            # the Gopher verdict is a pure projection — riding the stats
+            # stage adds zero shuffles (the join key is the projection's id)
+            gq = gopher_quality_rules(docs, **gopher_params).select("doc_id", "gopher_keep")
+            out = out.join(gq, "doc_id")
+        return out
 
     stats = pipe.stage("doc_stats", build_stats)
 
@@ -230,6 +242,8 @@ def run_corpus_prep(
             & (F.col("dup_ngram_frac") <= max_dup_ngram_frac)
             & (F.col("top_ngram_frac") <= max_top_ngram_frac)
         )
+        if gopher_params is not None:
+            quality_ok = quality_ok & F.col("gopher_keep")
         return (
             docs.join(stats, "doc_id")
             .join(drops.select("doc_id").distinct(), "doc_id", "left_anti")
@@ -284,6 +298,9 @@ def run_corpus_prep(
     )
     n_filtered = pipe.metrics.get("corpus_filtered", {}).get("rows")
     n_selected = pipe.metrics.get("dsir_selected", {}).get("rows")
+    gopher_rejected = (
+        stats.filter(~F.col("gopher_keep")).count() if gopher_params is not None else None
+    )
     pipe.metrics["summary"] = {
         "n_input_docs": n_input,
         "drop_reasons": reason_counts,
@@ -291,6 +308,7 @@ def run_corpus_prep(
         "n_retained": n_filtered,
         "retention_rate": round(n_filtered / n_input, 6) if n_filtered is not None and n_input else None,
         "n_dsir_selected": n_selected,
+        "gopher_rejected": gopher_rejected,
     }
     return {
         "packed": packed,
@@ -316,6 +334,12 @@ def main() -> None:
                         "corpus has no line structure, so ' table '/' line ' are "
                         "deterministically re-punctuated into sentence breaks "
                         "first — same stand-in as the c4_line_filter oracle query)")
+    parser.add_argument("--gopher", action="store_true",
+                        help="apply the full Gopher quality-rule verdict "
+                        "(text_filters.gopher_quality_rules) alongside the "
+                        "base quality thresholds, with word/stopword/"
+                        "mean-length rules scaled to the 10-99-token "
+                        "synthetic corpus")
     parser.add_argument("--dsir-top-frac", type=float, default=0.0,
                         help="> 0 turns on DSIR selection: keep this fraction of "
                         "the input count, by importance weight vs the source='src0' "
@@ -339,12 +363,23 @@ def main() -> None:
             "doc_blocklist": ("big data",),
             "min_lines_kept": 2,
         }
+    gopher_params = None
+    if args.gopher:
+        gopher_params = {
+            "min_words": 30,
+            "max_words": 100_000,
+            "min_mean_word_len": 4.0,
+            "max_mean_word_len": 10.0,
+            "min_alpha_word_frac": 0.9,
+            "min_stopword_hits": 2,
+        }
     dsir_target, dsir_top_k = None, None
     if args.dsir_top_frac > 0:
         dsir_target = docs.filter(F.col("source") == "src0").select("doc_id", "text")
         dsir_top_k = max(1, int(args.dsir_top_frac * corpus.count()))
     result = run_corpus_prep(spark, args.workdir, corpus, benchmark=bench,
                              pack_budget=args.pack_budget, c4_params=c4_params,
+                             gopher_params=gopher_params,
                              dsir_target=dsir_target, dsir_top_k=dsir_top_k)
     out = {"metrics": result["metrics"]}
     print(json.dumps(out, default=str))

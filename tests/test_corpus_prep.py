@@ -74,6 +74,55 @@ def test_corpus_prep_resumes_from_checkpoints(spark, corpus, tmp_path):
     assert third["metrics"]["packed_train"]["resumed"] is False
 
 
+def test_corpus_prep_gopher_gate(spark, corpus, tmp_path):
+    """With gopher_params set, the Gopher verdict rides the stats stage
+    and gates corpus_filtered: doc 9 (zero Gopher stopwords after the
+    fixture's words) survives the base thresholds but min_stopword_hits=3
+    rejects it; rejected count is surfaced in the summary."""
+    res = run_corpus_prep(
+        spark,
+        str(tmp_path / "wd"),
+        corpus,
+        gopher_params={
+            "min_words": 5,
+            "max_words": 100,
+            "min_mean_word_len": 2.0,
+            "max_mean_word_len": 10.0,
+            "min_alpha_word_frac": 0.5,
+            "min_stopword_hits": 3,
+        },
+    )
+    retained = {r.doc_id for r in res["filtered"].collect()}
+    assert retained <= {1, 8, 9}
+    assert 1 in retained  # 'the' x3 clears the stopword floor
+    assert res["metrics"]["summary"]["gopher_rejected"] is not None
+    assert res["metrics"]["summary"]["gopher_rejected"] >= 1
+    # the verdict column is persisted in the stats checkpoint (resumable)
+    second = run_corpus_prep(
+        spark,
+        str(tmp_path / "wd"),
+        corpus,
+        gopher_params={
+            "min_words": 5,
+            "max_words": 100,
+            "min_mean_word_len": 2.0,
+            "max_mean_word_len": 10.0,
+            "min_alpha_word_frac": 0.5,
+            "min_stopword_hits": 3,
+        },
+    )
+    assert second["metrics"]["doc_stats"]["resumed"] is True
+    assert {r.doc_id for r in second["filtered"].collect()} == retained
+    # different gopher params -> stats checkpoint is stale, not reused
+    third = run_corpus_prep(
+        spark,
+        str(tmp_path / "wd"),
+        corpus,
+        gopher_params={"min_words": 5, "min_stopword_hits": 1},
+    )
+    assert third["metrics"]["doc_stats"]["resumed"] is False
+
+
 def test_corpus_prep_c4_and_dsir_stages(spark, tmp_path):
     """Optional stages: C4 line cleaning runs FIRST (killed docs enter the
     ledger as c4_dropped, survivors continue with cleaned text), DSIR
