@@ -777,3 +777,42 @@ def test_streaming_hygiene_projections_match_batch(spark, tmp_path):
     exp_pii = {r.doc_id: r.redacted for r in redact_pii(docs).collect()}
     assert got_pii == exp_pii
     assert "<PII:email>" in got_pii[2] and "<PII:ipv4>" in got_pii[2]
+
+
+def test_streaming_gopher_rules_match_batch(spark, tmp_path):
+    """gopher_quality_rules is a pure projection too: streamed verdicts and
+    signals are pinned row-for-row to the batch operator."""
+    from pilsner_spark.operators.text_filters import gopher_quality_rules
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on mat"),
+            (2, "cat"),
+            (3, "- the cat sat\n- on a mat\nplain line here"),
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "gopher_in")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    kwargs = dict(min_words=5, max_words=10, min_mean_word_len=2.0,
+                  max_mean_word_len=6.0, min_alpha_word_frac=0.8,
+                  min_stopword_hits=1, max_bullet_line_frac=0.5)
+    q = (
+        gopher_quality_rules(stream, **kwargs)
+        .writeStream.format("memory")
+        .queryName("gopher_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_words, r.gopher_keep, r.bullet_line_frac)
+        for r in spark.sql("select * from gopher_stream").collect()
+    }
+    exp = {
+        r.doc_id: (r.n_words, r.gopher_keep, r.bullet_line_frac)
+        for r in gopher_quality_rules(docs, **kwargs).collect()
+    }
+    assert got == exp and set(got) == {1, 2, 3}
+    assert got[1][1] is True and got[3][1] is False
