@@ -405,10 +405,10 @@ def embedding_decontaminate(
     Physical shape (the 100 TB one): eval suites are tiny next to the
     corpus, so the BENCHMARK side is broadcast — one corpus scan, a
     broadcast nested-loop cosine filter (embarrassingly parallel, corpus
-    embeddings never cross an exchange), then a single hash aggregation
-    with map-side partial combine over the (small) matched set. The
-    max-cosine witness rides the same agg as a struct max — no window, no
-    sort. For benchmarks too large to broadcast, pre-filter candidates by
+    embeddings never cross an exchange), then ONE aggregation with
+    map-side partial combine over the (small) matched set — the struct-max
+    witness makes it sort-based rather than hashed, which is immaterial at
+    matched-set size; no window, no join back. For benchmarks too large to broadcast, pre-filter candidates by
     IVF cell (operators.ann.ivf_assign on both sides, join on cell) and
     feed the survivors through the same scoring; this exact form is the
     oracle-checkable baseline."""

@@ -188,6 +188,34 @@ CHECKS = {
             ("no Python nodes", r"EvalPython|MapInPandas"),
         ],
     },
+    # Gopher rules are a pure projection: token/line higher-order functions
+    # under codegen — NOTHING may shuffle and nothing may enter Python
+    "quality_gopher_rules": {
+        "want": [
+            ("whole-stage codegen (or AQE runtime-compiled)", r"codegen id|AdaptiveSparkPlan"),
+        ],
+        "avoid": [
+            ("no shuffle at all (pure projection)", r"Exchange"),
+            ("no explode (array signals stay in-row)", r"Generate"),
+            ("no Python nodes", r"EvalPython|MapInPandas"),
+        ],
+    },
+    # embedding decontamination: the benchmark side broadcast as a
+    # nested-loop cosine filter — corpus embeddings cross no exchange
+    # before the (tiny, matched-set) witness rollup
+    "decontaminate_embedding": {
+        "want": [
+            ("benchmark embeddings broadcast (nested-loop cosine filter)", r"BroadcastNestedLoopJoin"),
+            # struct-max witness forces a sort-based agg; map-side partials
+            # still run, and the agg input is only the tiny matched set
+            ("witness rollup partial-aggregates map-side", r"partial_max"),
+            ("whole-stage codegen (or AQE runtime-compiled)", r"codegen id|AdaptiveSparkPlan"),
+        ],
+        "avoid": [
+            ("no sort-merge join", r"SortMergeJoin"),
+            ("no Python nodes", r"EvalPython|MapInPandas"),
+        ],
+    },
     # DSIR: both bucket-distribution tables broadcast onto the gram stream;
     # the only wide exchange is the final per-doc rollup (partial-agg'd)
     "importance_weights": {
