@@ -668,6 +668,20 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
     return ivf_pq_topk(emb, queries, k=5, m=4, n_codes=16, n_cells=16, n_probe=4, dim=64)
 
 
+def q_ann_ivf_pq_refined(spark, sf_dir):
+    """IVF-PQ with the exact re-ranking stage (Faiss IVFPQR shape): the
+    top k x 4 candidates by PQ-approximate cosine are re-scored against
+    their full-width vectors and re-ranked — recall lost to quantization
+    is recovered while the full-width read stays O(shortlist)."""
+    from pilsner_spark.operators.ann import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_pq_topk(
+        emb, queries, k=5, m=4, n_codes=16, n_cells=16, n_probe=4, dim=64, refine_factor=4
+    )
+
+
 # -- text analysis ------------------------------------------------------------
 
 
@@ -1178,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
+        "ann_ivf_pq_refined": q_ann_ivf_pq_refined,
         "text_tfidf": q_text_tfidf,
         "sample_stratified": q_sample_stratified,
         "split_assign": q_split_assign,
@@ -1652,6 +1667,37 @@ def oracle_sql() -> dict[str, str]:
             "  from cand c join v q on q.vec_id = c.query_id join recon r on r.vec_id = c.neighbor_id) "
             "select query_id, neighbor_id, rank, cosine from "
             "(select *, row_number() over (partition by query_id order by cosine desc, neighbor_id asc) as rank from scored) "
+            "where rank <= 5"
+        ),
+        "ann_ivf_pq_refined": (
+            "with v as (select vec_id, cast(embedding as double[]) as emb from embeddings), "
+            "centroids as (select vec_id as cell, emb as c_vec from v order by vec_id limit 16), "
+            "assign as (select vec_id, cell from (select t.vec_id, c.cell, "
+            "  row_number() over (partition by t.vec_id order by round(list_cosine_similarity(c.c_vec, t.emb), 6) desc, c.cell asc) as r "
+            "  from v t, centroids c) where r = 1), "
+            "qprobe as (select query_id, cell from (select q.vec_id as query_id, c.cell, "
+            "  row_number() over (partition by q.vec_id order by round(list_cosine_similarity(c.c_vec, q.emb), 6) desc, c.cell asc) as r "
+            "  from v q, centroids c where q.vec_id < 10) where r <= 4), "
+            "seed as (select vec_id as code, emb from v order by vec_id limit 16), "
+            "sp as (select g.m from generate_series(0, 3) g(m)), "
+            "cb as (select sp.m, seed.code, (seed.emb)[sp.m*16+1:(sp.m+1)*16] as c_sub from seed, sp), "
+            "subs as (select v.vec_id, sp.m, (v.emb)[sp.m*16+1:(sp.m+1)*16] as v_sub from v, sp), "
+            "pqassign as (select vec_id, m, code from (select s.vec_id, s.m, cb.code, "
+            "  row_number() over (partition by s.vec_id, s.m order by "
+            "    round(list_sum([(s.v_sub[i]-cb.c_sub[i])*(s.v_sub[i]-cb.c_sub[i]) for i in generate_series(1, 16)]), 6) asc, cb.code asc) as r "
+            "  from subs s join cb on s.m = cb.m) where r = 1), "
+            "recon as (select a.vec_id, flatten(list(cb.c_sub order by a.m)) as r_vec "
+            "  from pqassign a join cb on a.m = cb.m and a.code = cb.code group by a.vec_id), "
+            "cand as (select p.query_id, a.vec_id as neighbor_id from qprobe p join assign a using (cell) where p.query_id != a.vec_id), "
+            "approx as (select c.query_id, c.neighbor_id, round(list_cosine_similarity(q.emb, r.r_vec), 6) as acos "
+            "  from cand c join v q on q.vec_id = c.query_id join recon r on r.vec_id = c.neighbor_id), "
+            "short as (select query_id, neighbor_id from "
+            "  (select *, row_number() over (partition by query_id order by acos desc, neighbor_id asc) as arank from approx) "
+            "  where arank <= 20), "
+            "exact as (select s.query_id, s.neighbor_id, round(list_cosine_similarity(q.emb, n.emb), 6) as cosine "
+            "  from short s join v q on q.vec_id = s.query_id join v n on n.vec_id = s.neighbor_id) "
+            "select query_id, neighbor_id, rank, cosine from "
+            "(select *, row_number() over (partition by query_id order by cosine desc, neighbor_id asc) as rank from exact) "
             "where rank <= 5"
         ),
         "text_tfidf": (

@@ -386,6 +386,8 @@ def ivf_pq_topk(
     dim: Optional[int] = None,
     index: Optional[DataFrame] = None,
     codebooks: Optional[DataFrame] = None,
+    refine_factor: int = 0,
+    refine_vectors: Optional[DataFrame] = None,
 ) -> DataFrame:
     """IVF-PQ — the composed 100 TB ANN shape (Jégou et al., TPAMI 2011):
     the IVF index prunes the SEARCH (each query probes its ``n_probe``
@@ -408,7 +410,19 @@ def ivf_pq_topk(
     reconstructed approximation. Default centroids/codebooks are the
     deterministic samples (oracle-exact); trained k-means centroids drop
     in via ``centroids``; a persisted index (partitioned by cell) drops in
-    via ``index``, making ``vectors`` build-time-only."""
+    via ``index``, making ``vectors`` build-time-only.
+
+    ``refine_factor`` > 0 adds the exact RE-RANKING stage production
+    IVF-PQ deployments run (Jégou et al. 2011 §V.C / Faiss IVFPQR): the
+    top ``k x refine_factor`` candidates by PQ-approximate cosine are
+    re-scored against their FULL-WIDTH vectors and re-ranked, recovering
+    most of the recall quantization loses while the full-width read stays
+    O(shortlist), never O(N) — the shortlist broadcasts onto the refine
+    table, so corpus vectors still cross no exchange. The shortlist
+    carries each candidate's ``cell``; pass ``refine_vectors`` stored
+    PARTITIONED BY cell (the pq_index layout) and the broadcast join
+    prunes unprobed partitions. ``cosine`` in the refined output is
+    exact."""
     if centroids is None:
         centroids = sample_centroids(vectors, n_cells, id_col, vec_col)
     centroids = centroids.localCheckpoint()  # reused by assignment + probing
@@ -449,7 +463,7 @@ def ivf_pq_topk(
     # probed-cell candidates
     recon = (
         cand.join(F.broadcast(codebooks), ["m", "code"])
-        .groupBy("query_id", "neighbor_id")
+        .groupBy("query_id", "neighbor_id", "cell")  # cell is per-neighbor, free in the key
         .agg(
             F.flatten(
                 F.transform(
@@ -463,6 +477,36 @@ def ivf_pq_topk(
         "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("r_vec")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    if refine_factor and refine_factor > 0:
+        rv = refine_vectors if refine_vectors is not None else vectors
+        if rv is None:
+            raise ValueError(
+                "refine_factor needs full-width vectors: pass refine_vectors "
+                "(cell-partitioned for partition pruning) or vectors"
+            )
+        shortlist = (
+            scored.withColumn("arank", F.row_number().over(w))
+            .filter(F.col("arank") <= k * refine_factor)
+            .select("query_id", "neighbor_id", "cell")
+        )
+        cols = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("n_vec")]
+        join_keys = ["neighbor_id"]
+        if "cell" in rv.columns:
+            cols.append(F.col("cell"))
+            join_keys = ["cell", "neighbor_id"]
+        else:
+            shortlist = shortlist.drop("cell")
+        exact = (
+            rv.select(*cols)
+            .join(F.broadcast(shortlist), join_keys)
+            .join(F.broadcast(q), "query_id")
+            .withColumn("cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("n_vec")), 6))
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine")
+        )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -503,10 +547,13 @@ def ivf_pq_recall_at_k(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: Optional[DataFrame] = None,
+    refine_factor: int = 0,
 ) -> float:
     """Fraction of brute-force top-k the composed IVF-PQ path recovers —
     charges BOTH approximation sources at once (probe pruning + codeword
-    quantization), the honest quality number for the scale path."""
+    quantization), the honest quality number for the scale path.
+    ``refine_factor`` > 0 measures the exact-re-ranked variant (the
+    residual miss is then probe pruning alone)."""
     truth = brute_force_topk(vectors, queries, k, id_col, vec_col, query_id_col)
     approx = ivf_pq_topk(
         vectors,
@@ -520,6 +567,7 @@ def ivf_pq_recall_at_k(
         vec_col,
         query_id_col,
         centroids=centroids,
+        refine_factor=refine_factor,
     )
     hits = truth.join(
         approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"

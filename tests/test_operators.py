@@ -584,6 +584,67 @@ def test_ann_ivf_pq_composed(spark, vectors):
     assert ivf_pq_recall_at_k(vectors, queries, k=3, m=2, n_codes=16, n_cells=8, n_probe=4) >= 0.9
 
 
+def test_ann_ivf_pq_refine_recovers_exact_ranks(spark, vectors, tmp_path):
+    """The exact re-ranking stage (Faiss IVFPQR shape): with every cell
+    probed and a refine shortlist wide enough to hold all candidates, the
+    refined result must equal brute force rank-for-rank AND cosine-for-
+    cosine (refined cosines are exact, not reconstructions); on the lossy
+    half-probe setting refined recall must never fall below unrefined.
+    Also proves a cell-partitioned refine table joins correctly."""
+    from pilsner_spark.operators.ann import (
+        ivf_assign,
+        ivf_pq_recall_at_k,
+        ivf_pq_topk,
+        sample_centroids,
+    )
+
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in brute_force_topk(vectors, queries, k=4).collect()
+    }
+    refined = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_pq_topk(
+            vectors, queries, k=4, m=2, n_codes=16, n_cells=8, n_probe=8, refine_factor=10
+        ).collect()
+    }
+    assert refined == truth
+
+    # lossy setting: refine can only help
+    base = ivf_pq_recall_at_k(vectors, queries, k=3, m=2, n_codes=16, n_cells=8, n_probe=4)
+    ref = ivf_pq_recall_at_k(
+        vectors, queries, k=3, m=2, n_codes=16, n_cells=8, n_probe=4, refine_factor=4
+    )
+    assert ref >= base
+
+    # cell-partitioned refine table (the pq_index storage layout) joins on
+    # (cell, neighbor_id) and must reproduce the vectors-backed result
+    cents = sample_centroids(vectors, 8)
+    rv_path = str(tmp_path / "refine_vectors")
+    vectors.join(ivf_assign(vectors, centroids=cents), "vec_id").write.partitionBy(
+        "cell"
+    ).parquet(rv_path)
+    via_table = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_pq_topk(
+            vectors,
+            queries,
+            k=4,
+            m=2,
+            n_codes=16,
+            n_cells=8,
+            n_probe=8,
+            centroids=cents,
+            refine_factor=10,
+            refine_vectors=spark.read.parquet(rv_path),
+        ).collect()
+    }
+    assert via_table == truth
+
+
 def test_ann_ivf_pq_persisted_index_never_reads_vectors(spark, vectors, tmp_path):
     """The 100 TB serving shape: pq_index persisted partitioned by cell,
     then queried with vectors=None — proving query-time work reads ONLY the
