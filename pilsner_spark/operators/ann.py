@@ -388,6 +388,7 @@ def ivf_pq_topk(
     codebooks: Optional[DataFrame] = None,
     refine_factor: int = 0,
     refine_vectors: Optional[DataFrame] = None,
+    refine_vec_col: Optional[str] = None,
 ) -> DataFrame:
     """IVF-PQ — the composed 100 TB ANN shape (Jégou et al., TPAMI 2011):
     the IVF index prunes the SEARCH (each query probes its ``n_probe``
@@ -421,8 +422,11 @@ def ivf_pq_topk(
     table, so corpus vectors still cross no exchange. The shortlist
     carries each candidate's ``cell``; pass ``refine_vectors`` stored
     PARTITIONED BY cell (the pq_index layout) and the broadcast join
-    prunes unprobed partitions. ``cosine`` in the refined output is
-    exact."""
+    prunes unprobed partitions. ``refine_vec_col`` names the refine
+    table's vector column when it differs from ``vec_col`` (the serving
+    shape reads queries through ``vec_col``, so a renamed query column
+    must not leak into the corpus-side refine read). ``cosine`` in the
+    refined output is exact."""
     if centroids is None:
         centroids = sample_centroids(vectors, n_cells, id_col, vec_col)
     centroids = centroids.localCheckpoint()  # reused by assignment + probing
@@ -489,7 +493,8 @@ def ivf_pq_topk(
             .filter(F.col("arank") <= k * refine_factor)
             .select("query_id", "neighbor_id", "cell")
         )
-        cols = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("n_vec")]
+        rv_col = refine_vec_col or vec_col
+        cols = [F.col(id_col).alias("neighbor_id"), F.col(rv_col).cast("array<double>").alias("n_vec")]
         join_keys = ["neighbor_id"]
         if "cell" in rv.columns:
             cols.append(F.col("cell"))

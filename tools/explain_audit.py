@@ -163,6 +163,22 @@ CHECKS = {
             ("no Python nodes", r"EvalPython|MapInPandas"),
         ],
     },
+    # the refined IVF-PQ serving plan (IVFPQR shape): same code-width index
+    # scan as ann_ivf_pq_served, plus the exact re-rank against a
+    # cell-partitioned full-width refine table — the shortlist broadcast
+    # must DYNAMICALLY PRUNE the refine scan's partitions (probed cells
+    # only), so full-width reads stay O(shortlist cells), never O(N)
+    "ann_ivf_pq_refined_served": {
+        "want": [
+            ("shortlist/probe broadcast onto partitioned scans", r"BroadcastHashJoin"),
+            ("refine + index scans dynamically partition-pruned", r"dynamicpruningexpression"),
+            ("whole-stage codegen (or AQE runtime-compiled)", r"codegen id|AdaptiveSparkPlan"),
+        ],
+        "avoid": [
+            ("no sort-merge join", r"SortMergeJoin"),
+            ("no Python nodes", r"EvalPython|MapInPandas"),
+        ],
+    },
     # decontamination: benchmark gram set broadcast onto the corpus grams —
     # corpus text crosses no exchange before the join; the only shuffle is
     # the final per-doc rollup (partial-agg'd), and nothing runs in Python
@@ -434,9 +450,60 @@ def _ann_served_df(spark):
     )
 
 
+def _ann_refined_served_df(spark):
+    """The refined serving shape: prebuilt index + a full-width refine
+    table stored PARTITIONED BY cell. The audit checks the refine scan is
+    dynamically partition-pruned by the broadcast shortlist (probed cells
+    only) — the property that keeps full-width IO O(shortlist) at 100 TB."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pilsner_spark.operators.ann import (
+        ivf_assign,
+        ivf_pq_topk,
+        pq_codebooks,
+        pq_index,
+        sample_centroids,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    tmp = tempfile.mkdtemp(prefix="plan_audit_ann_ref_")
+    cents = sample_centroids(emb, 16)
+    cb = pq_codebooks(emb, m=4, n_codes=16)
+    pq_index(emb, 4, 16, 16, centroids=cents, codebooks=cb).write.partitionBy("cell").parquet(
+        f"{tmp}/index"
+    )
+    emb.join(ivf_assign(emb, centroids=cents), "vec_id").write.partitionBy("cell").parquet(
+        f"{tmp}/refine"
+    )
+    cents.write.parquet(f"{tmp}/cents")
+    cb.write.parquet(f"{tmp}/cb")
+    emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    ).write.parquet(f"{tmp}/q")
+    return ivf_pq_topk(
+        None,
+        spark.read.parquet(f"{tmp}/q"),
+        k=5,
+        m=4,
+        n_codes=16,
+        n_cells=16,
+        n_probe=4,
+        vec_col="q_embedding",
+        centroids=spark.read.parquet(f"{tmp}/cents"),
+        codebooks=spark.read.parquet(f"{tmp}/cb"),
+        index=spark.read.parquet(f"{tmp}/index"),
+        refine_factor=4,
+        refine_vectors=spark.read.parquet(f"{tmp}/refine"),
+        refine_vec_col="embedding",
+    )
+
+
 BUILDERS = {
     "er_scored_pairs": _er_scored_pairs_df,
     "ann_ivf_pq_served": _ann_served_df,
+    "ann_ivf_pq_refined_served": _ann_refined_served_df,
     "er_scored_base": _split("er_scored_base"),
     "er_scored_fused": _split("er_scored_fused"),
     "er_jw_slice": _split("er_jw_slice"),
