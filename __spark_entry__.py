@@ -1053,6 +1053,35 @@ def q_matcher_training_pairs(spark, sf_dir):
     return matcher_training_pairs(assignments, blocks, neg_sample_frac=0.1)
 
 
+def q_er_threshold_sweep(spark, sf_dir):
+    """Distributed PR curve over labeled matcher pairs: token-Jaccard
+    scores on the matcher_training_pairs set, confusion counts + P/R/F1
+    at 11 thresholds from ONE histogram pass over the pair mass (the pair
+    table is aggregated once into an O(distinct scores) histogram; the
+    sweep never re-scans it)."""
+    from pilsner_spark.functions.text import tokens
+    from pilsner_spark.operators.scoring import threshold_sweep
+    from pilsner_spark.operators.training import matcher_training_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    assignments = docs.select(F.col("doc_id").alias("turn_key"), F.col("lang").alias("cluster_id"))
+    blocks = docs.select(F.col("source").alias("block_key"), F.col("doc_id").alias("turn_key"))
+    pairs = matcher_training_pairs(assignments, blocks, neg_sample_frac=0.1)
+    toks = docs.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("ts"))
+    union_n = F.size(F.array_union("ts_a", "ts_b"))
+    scored = (
+        pairs.join(toks.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a")), "id_a")
+        .join(toks.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b")), "id_b")
+        .withColumn(
+            "score",
+            F.when(union_n == 0, F.lit(0.0)).otherwise(
+                F.round(F.size(F.array_intersect("ts_a", "ts_b")) / union_n, 6)
+            ),
+        )
+    )
+    return threshold_sweep(scored, [i / 20.0 for i in range(11)], "score", "label")
+
+
 def q_quality_bigram_lm(spark, sf_dir):
     """CCNet-style perplexity filtering stand-in: every document scored by
     mean bigram log-probability under an add-1-smoothed bigram LM trained
@@ -1213,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_weights": q_importance_weights,
         "select_quality_topk": q_select_quality_topk,
         "sample_quality_gumbel": q_sample_quality_gumbel,
+        "er_threshold_sweep": q_er_threshold_sweep,
         "quality_bigram_lm": q_quality_bigram_lm,
         "chunk_documents": q_chunk_documents,
         "events_asof_join": q_events_asof_join,
@@ -2000,6 +2030,34 @@ def oracle_sql() -> dict[str, str]:
             "neg as (select id_a, id_b, 0.0 as label, 'hard_negative' as source from cross0 "
             "  where cast(concat('0x', substr(md5(concat('pairs', '#', cast(id_a as varchar), '#', cast(id_b as varchar))), 1, 15)) as bigint) < 115292150460684704) "
             "select * from pos union all select * from neg"
+        ),
+        "er_threshold_sweep": (
+            "with a as (select doc_id as id, lang as cl from documents), "
+            "canon as (select cl, min(id) as canon from a group by cl), "
+            "pos as (select least(id, canon) as id_a, greatest(id, canon) as id_b, 1.0 as label "
+            "  from a join canon using (cl) where id != canon), "
+            "b as (select source as bk, doc_id as id, lang as cl from documents), "
+            "okb as (select bk from b group by bk having count(distinct id) between 2 and 200), "
+            "cross0 as (select distinct least(x.id, y.id) as id_a, greatest(x.id, y.id) as id_b "
+            "  from b x join b y using (bk) join okb using (bk) where x.id < y.id and x.cl != y.cl), "
+            "neg as (select id_a, id_b, 0.0 as label from cross0 "
+            "  where cast(concat('0x', substr(md5(concat('pairs', '#', cast(id_a as varchar), '#', cast(id_b as varchar))), 1, 15)) as bigint) < 115292150460684704), "
+            "pairs as (select * from pos union all select * from neg), "
+            "toks as (select doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x != '')) as ts from documents), "
+            "scored as (select p.label, case when len(list_distinct(list_concat(ta.ts, tb.ts))) = 0 then 0.0 "
+            "  else round(cast(len(list_intersect(ta.ts, tb.ts)) as double) / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) end as score "
+            "  from pairs p join toks ta on ta.doc_id = p.id_a join toks tb on tb.doc_id = p.id_b), "
+            "th as (select cast(unnest([0.0, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5]) as double) as threshold), "
+            "conf as (select threshold, "
+            "  cast(sum(case when round(score, 9) >= threshold and label >= 0.5 then 1 else 0 end) as bigint) as tp, "
+            "  cast(sum(case when round(score, 9) >= threshold and label < 0.5 then 1 else 0 end) as bigint) as fp, "
+            "  cast(sum(case when round(score, 9) < threshold and label >= 0.5 then 1 else 0 end) as bigint) as fn, "
+            "  cast(sum(case when round(score, 9) < threshold and label < 0.5 then 1 else 0 end) as bigint) as tn "
+            "  from th cross join scored group by threshold), "
+            "pr as (select *, case when tp + fp = 0 then 1.0 else cast(tp as double) / (tp + fp) end as p, "
+            "  case when tp + fn = 0 then 1.0 else cast(tp as double) / (tp + fn) end as r from conf) "
+            "select threshold, tp, fp, fn, tn, round(p, 6) as \"precision\", round(r, 6) as recall, "
+            "round(case when p + r = 0 then 0.0 else 2 * p * r / (p + r) end, 6) as f1 from pr"
         ),
         "multimodal_metadata": (
             "select doc_id, octet_length(encode(text)) as n_bytes, lower(hex(encode(substr(text, 1, 8)))) as header_hex from documents"

@@ -359,3 +359,75 @@ def finalize_scored(
             "key_a", "key_b", "shared_entity", "conflicting_entities", "jaccard", "lev_ratio", "jw", "is_match"
         )
     )
+
+
+def threshold_sweep(
+    pairs: DataFrame,
+    thresholds,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Distributed precision/recall curve: confusion counts + P/R/F1 at
+    every threshold, from ONE pass over the pair mass.
+
+    A pair is predicted positive at threshold t when score >= t; truth is
+    ``label_col`` >= 0.5. Returns one row per threshold:
+    (threshold, tp, fp, fn, tn, precision, recall, f1), metrics rounded to
+    6 dp (0-denominator conventions: precision/recall are 1.0 with no
+    predicted/actual positives, matching evaluate_f1).
+
+    Physical shape — the part that matters at 10^12 pairs: the pair table
+    is aggregated ONCE into an O(distinct rounded scores) histogram
+    (hash agg, map-side partials), and the threshold sweep runs over that
+    tiny histogram x len(thresholds) — the pair mass is never re-scanned
+    per threshold and never expands. Scores are rounded to 9 dp before
+    histogramming so the bucket count is bounded for pathological float
+    scores; thresholds compare against the rounded value (document scores
+    should be produced pre-rounded, as the repo's similarity scores are)."""
+    t_df = pairs.sparkSession.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    hist = (
+        pairs.select(
+            F.round(F.col(score_col), 9).alias("s"),
+            (F.col(label_col).cast("double") >= 0.5).alias("pos"),
+        )
+        .groupBy("s", "pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    conf = (
+        F.broadcast(t_df)
+        .join(hist, F.lit(True))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when((F.col("s") >= F.col("threshold")) & F.col("pos"), F.col("n")).otherwise(F.lit(0))).alias("tp"),
+            F.sum(F.when((F.col("s") >= F.col("threshold")) & ~F.col("pos"), F.col("n")).otherwise(F.lit(0))).alias("fp"),
+            F.sum(F.when((F.col("s") < F.col("threshold")) & F.col("pos"), F.col("n")).otherwise(F.lit(0))).alias("fn"),
+            F.sum(F.when((F.col("s") < F.col("threshold")) & ~F.col("pos"), F.col("n")).otherwise(F.lit(0))).alias("tn"),
+        )
+    )
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(1.0)).otherwise(
+        F.col("tp") / (F.col("tp") + F.col("fp"))
+    )
+    rec = F.when(F.col("tp") + F.col("fn") == 0, F.lit(1.0)).otherwise(
+        F.col("tp") / (F.col("tp") + F.col("fn"))
+    )
+    return (
+        conf.withColumn("p", prec)
+        .withColumn("r", rec)
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.round(F.col("p"), 6).alias("precision"),
+            F.round(F.col("r"), 6).alias("recall"),
+            F.round(
+                F.when(F.col("p") + F.col("r") == 0, F.lit(0.0)).otherwise(
+                    2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r"))
+                ),
+                6,
+            ).alias("f1"),
+        )
+    )

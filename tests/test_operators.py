@@ -825,3 +825,35 @@ def test_matcher_training_pairs_labels_and_sampling(spark):
         if r.label == 0.0
     }
     assert sampled <= neg
+
+def test_threshold_sweep_confusion_and_conventions(spark):
+    """Hand-computed confusion counts at three thresholds over 6 labeled
+    scored pairs, including the 0-denominator conventions: precision and
+    recall are 1.0 when nothing is predicted/actual positive, f1 is 0.0
+    when p + r is 0. One histogram pass: counts must be exact longs."""
+    from pilsner_spark.operators.scoring import threshold_sweep
+
+    pairs = spark.createDataFrame(
+        [
+            (0.9, 1.0),
+            (0.8, 0.0),
+            (0.6, 1.0),
+            (0.4, 0.0),
+            (0.2, 1.0),
+            (0.1, 0.0),
+        ],
+        "score double, label double",
+    )
+    rows = {r.threshold: r for r in threshold_sweep(pairs, [0.0, 0.5, 0.95]).collect()}
+    assert (rows[0.0].tp, rows[0.0].fp, rows[0.0].fn, rows[0.0].tn) == (3, 3, 0, 0)
+    assert rows[0.0].precision == 0.5 and rows[0.0].recall == 1.0
+    assert (rows[0.5].tp, rows[0.5].fp, rows[0.5].fn, rows[0.5].tn) == (2, 1, 1, 2)
+    assert rows[0.5].precision == round(2 / 3, 6) and rows[0.5].recall == round(2 / 3, 6)
+    assert rows[0.5].f1 == round(2 * (2 / 3) * (2 / 3) / (4 / 3), 6)
+    # nothing predicted positive: precision 1.0 by convention, recall 0
+    assert (rows[0.95].tp, rows[0.95].fp) == (0, 0)
+    assert rows[0.95].precision == 1.0 and rows[0.95].recall == 0.0
+    # all-negative truth at an unreachable threshold: p=1, r=1 convention
+    only_neg = spark.createDataFrame([(0.1, 0.0)], "score double, label double")
+    r2 = threshold_sweep(only_neg, [0.5]).collect()[0]
+    assert (r2.precision, r2.recall, r2.f1) == (1.0, 1.0, 1.0)
