@@ -1082,6 +1082,20 @@ def q_er_threshold_sweep(spark, sf_dir):
     return threshold_sweep(scored, [i / 20.0 for i in range(11)], "score", "label")
 
 
+def q_line_dedup_crossdoc(spark, sf_dir):
+    """Corpus-level C4 line dedup: every line occurring >= 2 times across
+    the whole corpus keeps only its canonical (min doc_id, line_idx)
+    occurrence — boilerplate stripped everywhere else. Same in-query
+    re-punctuation as c4_line_filter so the word-soup corpus has real
+    line structure."""
+    from pilsner_spark.operators.text_filters import cross_doc_line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " (table|line) ", ".\n").alias("text")
+    )
+    return cross_doc_line_dedup(docs)
+
+
 def q_quality_bigram_lm(spark, sf_dir):
     """CCNet-style perplexity filtering stand-in: every document scored by
     mean bigram log-probability under an add-1-smoothed bigram LM trained
@@ -1243,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_quality_topk": q_select_quality_topk,
         "sample_quality_gumbel": q_sample_quality_gumbel,
         "er_threshold_sweep": q_er_threshold_sweep,
+        "line_dedup_crossdoc": q_line_dedup_crossdoc,
         "quality_bigram_lm": q_quality_bigram_lm,
         "chunk_documents": q_chunk_documents,
         "events_asof_join": q_events_asof_join,
@@ -2058,6 +2073,20 @@ def oracle_sql() -> dict[str, str]:
             "  case when tp + fn = 0 then 1.0 else cast(tp as double) / (tp + fn) end as r from conf) "
             "select threshold, tp, fp, fn, tn, round(p, 6) as \"precision\", round(r, 6) as recall, "
             "round(case when p + r = 0 then 0.0 else 2 * p * r / (p + r) end, 6) as f1 from pr"
+        ),
+        "line_dedup_crossdoc": (
+            "with d as (select doc_id, regexp_replace(text, ' (table|line) ', '.' || chr(10), 'g') as text from documents), "
+            "ls as (select doc_id, list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') as arr from d), "
+            "ex0 as (select doc_id, arr, unnest(generate_series(1, len(arr))) as i from ls), "
+            "ex as (select doc_id, i, arr[i] as line from ex0), "
+            "cnt as (select line from ex group by line having count(*) >= 2), "
+            "rn as (select ex.doc_id, ex.i, row_number() over (partition by ex.line order by ex.doc_id, ex.i) as rn "
+            "  from ex join cnt on ex.line = cnt.line), "
+            "drops as (select doc_id, list(i order by i) as di from rn where rn > 1 group by doc_id), "
+            "j as (select ls.doc_id, arr, coalesce(di, []) as di from ls left join drops using (doc_id)), "
+            "k as (select doc_id, len(arr) as n_lines, "
+            "  list_transform(list_filter(generate_series(1, len(arr)), i -> not list_contains(di, i)), i -> arr[i]) as kept from j) "
+            "select doc_id, n_lines, len(kept) as n_lines_kept, array_to_string(kept, chr(10)) as cleaned_text from k"
         ),
         "multimodal_metadata": (
             "select doc_id, octet_length(encode(text)) as n_bytes, lower(hex(encode(substr(text, 1, 8)))) as header_hex from documents"

@@ -680,3 +680,75 @@ def redact_pii(
     return docs.select(*out_cols, redacted.alias("redacted")).select(
         "doc_id", "redacted", *[f"n_{k}" for k, _ in PII_PATTERNS]
     )
+
+
+def cross_doc_line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Corpus-level line dedup (the OTHER C4 dedup rule, Raffel et al.
+    2020 §2.2: "we removed any line that occurred more than once in the
+    data set" — applied per line, keeping one canonical occurrence):
+    every trimmed non-empty line occurring >= ``min_occurrences`` times
+    ACROSS THE WHOLE CORPUS (including repeats inside one document) is
+    stripped everywhere except its canonical occurrence, the minimum
+    (doc_id, line_idx). Complements ``c4_line_filter`` (per-doc
+    heuristics, no corpus state) and ``substring_dedup`` (token windows,
+    not line-aligned): boilerplate lines — cookie banners, nav menus,
+    signatures — are exactly line-aligned repeats.
+
+    Returns one row per input document: (doc_id, n_lines, n_lines_kept,
+    cleaned_text), cleaned_text = surviving lines rejoined by a newline.
+    Dropped-to-empty documents stay visible (no silent truncation).
+
+    Physical shape: lines explode to (doc_id, idx, line-md5) — text
+    itself never leaves its doc row twice — then (1) ONE hash agg by line
+    hash (map-side partials collapse hot boilerplate lines per partition,
+    so the shuffle is skew-proof) yields the occurrence count + canonical
+    occurrence per distinct line; (2) one shuffle join of occurrences
+    against the >=min_occurrences subset marks the non-canonical drops
+    (a mega-hot line key lands on one reducer here — AQE skew-join
+    splits it; enable spark.sql.adaptive.skewJoin at scale); (3) one
+    groupBy(doc_id) rollup of dropped indices rejoins the doc table.
+    Everything JVM-side, no UDFs."""
+    lines_arr = F.filter(
+        F.transform(F.split(F.col(text_col), line_sep), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), lines_arr.alias("ls"))
+    ex = base.select(
+        "doc_id", F.posexplode("ls").alias("idx0", "line")
+    ).select("doc_id", (F.col("idx0") + 1).alias("i"), F.md5("line").alias("lh"))
+    dup = (
+        ex.groupBy("lh")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct(F.col("doc_id").alias("d"), F.col("i").alias("ci"))).alias("canon"),
+        )
+        .filter(F.col("n_occ") >= min_occurrences)
+    )
+    drops = (
+        ex.join(dup, "lh")
+        .filter((F.col("doc_id") != F.col("canon.d")) | (F.col("i") != F.col("canon.ci")))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("i")).alias("di"))
+    )
+    joined = base.join(drops, "doc_id", "left").select(
+        "doc_id", "ls", F.coalesce(F.col("di"), F.array().cast("array<int>")).alias("di")
+    )
+    # sequence(1, 0) DESCENDS in Spark — guard the empty-doc case explicitly
+    positions = F.when(F.size("ls") == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), F.size("ls")).cast("array<int>")
+    )
+    keep = F.filter(positions, lambda i: ~F.exists(F.col("di"), lambda d: d == i))
+    return joined.select(
+        "doc_id",
+        F.size("ls").alias("n_lines"),
+        F.size(keep).alias("n_lines_kept"),
+        F.array_join(F.transform(keep, lambda i: F.element_at(F.col("ls"), i)), "\n").alias(
+            "cleaned_text"
+        ),
+    )

@@ -69,6 +69,7 @@ from pilsner_spark.operators.dedup import (
 from pilsner_spark.operators.packing import deterministic_split, pack_by_budget
 from pilsner_spark.operators.text_filters import (
     c4_line_filter,
+    cross_doc_line_dedup,
     decontaminate,
     gopher_quality_rules,
     importance_weights,
@@ -141,6 +142,7 @@ def run_corpus_prep(
     pack_budget: int = 512,
     split_seed: str = "corpus",
     c4_params: Optional[dict] = None,
+    line_dedup_params: Optional[dict] = None,
     gopher_params: Optional[dict] = None,
     dsir_target: Optional[DataFrame] = None,
     dsir_top_k: Optional[int] = None,
@@ -174,6 +176,7 @@ def run_corpus_prep(
         "split_seed": split_seed,
         "has_benchmark": benchmark is not None,
         "c4": sorted(c4_params.items()) if c4_params else None,
+        "line_dedup": sorted(line_dedup_params.items()) if line_dedup_params else None,
         "gopher": sorted(gopher_params.items()) if gopher_params else None,
         "dsir_top_k": dsir_top_k,
         "dsir_buckets": dsir_buckets,
@@ -194,6 +197,17 @@ def run_corpus_prep(
         docs = c4_out.filter(F.col("doc_kept")).select(
             "doc_id", F.col("cleaned_text").alias("text")
         )
+
+    if line_dedup_params is not None:
+        # corpus-level C4 line dedup AFTER per-doc line cleaning: repeated
+        # lines keep only their canonical occurrence; docs stripped to
+        # nothing are NOT dropped here — the min_tokens quality gate kills
+        # them downstream with its own ledger reason. Text re-entering the
+        # flow is the deduped rejoin.
+        ld_out = pipe.stage(
+            "line_dedup", lambda: cross_doc_line_dedup(docs, **line_dedup_params)
+        )
+        docs = ld_out.select("doc_id", F.col("cleaned_text").alias("text"))
 
     def build_stats() -> DataFrame:
         base = docs.select(
@@ -334,6 +348,11 @@ def main() -> None:
                         "corpus has no line structure, so ' table '/' line ' are "
                         "deterministically re-punctuated into sentence breaks "
                         "first — same stand-in as the c4_line_filter oracle query)")
+    parser.add_argument("--line-dedup", action="store_true",
+                        help="turn on corpus-level line dedup (cross_doc_line_dedup): "
+                        "every line occurring twice or more across the corpus keeps "
+                        "only its canonical occurrence (uses the same ' table '/' line ' "
+                        "re-punctuation stand-in as --c4 when --c4 is off)")
     parser.add_argument("--gopher", action="store_true",
                         help="apply the full Gopher quality-rule verdict "
                         "(text_filters.gopher_quality_rules) alongside the "
@@ -353,10 +372,12 @@ def main() -> None:
     bench = None if args.no_benchmark else docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs if args.no_benchmark else docs.filter(F.col("doc_id") % 50 != 0)
     c4_params = None
-    if args.c4:
+    if args.c4 or args.line_dedup:
         corpus = corpus.withColumn(
             "text", F.regexp_replace("text", " (table|line) ", ".\n")
         )
+    line_dedup_params = {"min_occurrences": 2} if args.line_dedup else None
+    if args.c4:
         c4_params = {
             "min_words_per_line": 3,
             "line_blocklist": ("vector",),
@@ -379,6 +400,7 @@ def main() -> None:
         dsir_top_k = max(1, int(args.dsir_top_frac * corpus.count()))
     result = run_corpus_prep(spark, args.workdir, corpus, benchmark=bench,
                              pack_budget=args.pack_budget, c4_params=c4_params,
+                             line_dedup_params=line_dedup_params,
                              gopher_params=gopher_params,
                              dsir_target=dsir_target, dsir_top_k=dsir_top_k)
     out = {"metrics": result["metrics"]}

@@ -161,3 +161,29 @@ def test_corpus_prep_c4_and_dsir_stages(spark, tmp_path):
     assert res["metrics"]["summary"]["n_dsir_selected"] == 1
     splits = {r.doc_id for r in res["splits"].collect()}
     assert splits == {4}
+
+
+def test_corpus_prep_line_dedup_stage(spark, tmp_path):
+    """--line-dedup stage: a boilerplate line repeated across docs keeps
+    only its canonical occurrence; downstream stages consume the deduped
+    text (the stripped doc falls below min_tokens and is filtered, not
+    ledger-dropped — the stage itself never drops documents)."""
+    banner = "subscribe to our newsletter for updates every single week folks"
+    rows = [
+        (1, banner + "\nthe quick brown fox jumps over the lazy dog near the river"),
+        (2, banner + "\na completely different document about the weather and the sea"),
+        (3, banner),  # nothing but the boilerplate: stripped to empty
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    res = run_corpus_prep(
+        spark,
+        str(tmp_path / "wd_ld"),
+        corpus,
+        line_dedup_params={"min_occurrences": 2},
+    )
+    assert "line_dedup" in res["metrics"]
+    retained = {r.doc_id: r.text for r in res["filtered"].collect()}
+    assert set(retained) == {1, 2}
+    assert retained[1].startswith(banner)  # canonical occurrence survives
+    assert banner not in retained[2]  # stripped everywhere else
+    assert "weather" in retained[2]  # unique content intact

@@ -332,3 +332,34 @@ def test_bigram_logprob_hand_computed(spark):
     assert got[1].avg_logprob > got[2].avg_logprob  # in-domain scores higher
     assert (got[3].n_bigrams, got[3].avg_logprob) == (0, 0.0)
     assert (got[4].n_bigrams, got[4].avg_logprob) == (0, 0.0)
+
+
+def test_cross_doc_line_dedup_keeps_canonical_only(spark):
+    """Corpus-level line dedup: a line repeated across (or within) docs
+    survives only at its minimum (doc_id, line_idx) occurrence; unique
+    lines always survive; min_occurrences=3 spares a twice-seen line;
+    empty docs pass through with 0 lines."""
+    from pilsner_spark.operators.text_filters import cross_doc_line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nunique one"),
+            (2, "cookie banner\ncookie banner\nunique two"),
+            (3, "twice seen\nunique three"),
+            (4, "twice seen"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in cross_doc_line_dedup(docs).collect()}
+    assert got[1].cleaned_text == "cookie banner\nunique one"  # canonical kept
+    assert got[2].cleaned_text == "unique two"  # both repeats stripped (incl. within-doc)
+    assert (got[2].n_lines, got[2].n_lines_kept) == (3, 1)
+    assert got[3].cleaned_text == "twice seen\nunique three"  # canonical of the pair
+    assert got[4].cleaned_text == ""  # non-canonical occurrence dropped to empty, still visible
+    assert (got[5].n_lines, got[5].n_lines_kept, got[5].cleaned_text) == (0, 0, "")
+    assert set(got) == {1, 2, 3, 4, 5}
+    # a raised threshold spares the twice-seen line
+    spared = {r.doc_id: r for r in cross_doc_line_dedup(docs, min_occurrences=3).collect()}
+    assert spared[4].cleaned_text == "twice seen"
+    assert spared[2].cleaned_text == "unique two"  # 3 occurrences still dedup
