@@ -1096,6 +1096,20 @@ def q_line_dedup_crossdoc(spark, sf_dir):
     return cross_doc_line_dedup(docs)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Supervised model-based quality filter (CCNet/GPT-3 fastText step,
+    NB form): trained on the even-doc_id half (label = source=='src0'),
+    every document scored by hashed-unigram log-odds + class prior,
+    squashed to a probability, kept at prob >= 0.5."""
+    from pilsner_spark.operators.text_filters import nb_quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", (F.col("source") == "src0").cast("double").alias("label")
+    )
+    return nb_quality_classifier(docs, train)
+
+
 def q_quality_bigram_lm(spark, sf_dir):
     """CCNet-style perplexity filtering stand-in: every document scored by
     mean bigram log-probability under an add-1-smoothed bigram LM trained
@@ -1258,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_quality_gumbel": q_sample_quality_gumbel,
         "er_threshold_sweep": q_er_threshold_sweep,
         "line_dedup_crossdoc": q_line_dedup_crossdoc,
+        "quality_classifier": q_quality_classifier,
         "quality_bigram_lm": q_quality_bigram_lm,
         "chunk_documents": q_chunk_documents,
         "events_asof_join": q_events_asof_join,
@@ -1961,6 +1976,28 @@ def oracle_sql() -> dict[str, str]:
             "sc as (select b.doc_id, count(*) as n_grams, sum(r.llr_micro) as micro from b join ratios r using (bucket) group by b.doc_id) "
             "select doc_id, n_grams, round(micro / 1000000.0, 6) as log_weight from sc "
             "union all select doc_id, 0 as n_grams, 0.0 as log_weight from toks where len(ts) < 1"
+        ),
+        "quality_classifier": (
+            "with toks as (select doc_id, source, list_filter(string_split(text, ' '), x -> x != '') as ts from documents), "
+            "tr as (select doc_id, case when source = 'src0' then 1.0 else 0.0 end as label from toks where doc_id % 2 = 0), "
+            "g as (select doc_id, source, unnest(ts) as gram from toks), "
+            "b as (select doc_id, source, cast(concat('0x', substr(md5(gram), 1, 15)) as bigint) % 64 as bucket from g), "
+            "bt as (select * from b where doc_id % 2 = 0), "
+            "ct as (select bucket, count(*) as ct from bt where source = 'src0' group by bucket), "
+            "cr as (select bucket, count(*) as cr from bt where source != 'src0' group by bucket), "
+            "tot as (select (select sum(ct) from ct) as tt, (select sum(cr) from cr) as tr), "
+            "allb as (select gs.b as bucket from generate_series(0, 63) gs(b)), "
+            "ratios as (select allb.bucket, cast(round(round("
+            "  ln((coalesce(ct.ct, 0) + 1.0) / (tot.tt + 64.0)) - ln((coalesce(cr.cr, 0) + 1.0) / (tot.tr + 64.0)), 6) * 1000000) as bigint) as llr_micro "
+            "  from allb left join ct using (bucket) left join cr using (bucket) cross join tot), "
+            "sc as (select b.doc_id, count(*) as n_grams, sum(r.llr_micro) as micro from b join ratios r using (bucket) group by b.doc_id), "
+            "lw as (select doc_id, n_grams, round(micro / 1000000.0, 6) as log_weight from sc "
+            "  union all select doc_id, 0 as n_grams, 0.0 as log_weight from toks where len(ts) < 1), "
+            "prior as (select round(ln((sum(case when label >= 0.5 then 1 else 0 end) + 1.0) "
+            "  / (sum(case when label < 0.5 then 1 else 0 end) + 1.0)), 6) as log_prior from tr), "
+            "fin as (select doc_id, n_grams, round(log_weight + log_prior, 6) as logit from lw cross join prior) "
+            "select doc_id, n_grams, logit, round(1.0 / (1.0 + exp(-logit)), 6) as prob, "
+            "round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 as keep from fin"
         ),
         "select_quality_topk": (
             "with toks as (select doc_id, source, list_filter(string_split(text, ' '), x -> x != '') as ts from documents), "

@@ -59,6 +59,8 @@ __all__ = [
     "select_top_k_by_weight",
     "gumbel_sample_by_weight",
     "bigram_logprob_score",
+    "cross_doc_line_dedup",
+    "nb_quality_classifier",
 ]
 
 
@@ -751,4 +753,70 @@ def cross_doc_line_dedup(
         F.array_join(F.transform(keep, lambda i: F.element_at(F.col("ls"), i)), "\n").alias(
             "cleaned_text"
         ),
+    )
+
+
+def nb_quality_classifier(
+    docs: DataFrame,
+    train: DataFrame,
+    threshold: float = 0.5,
+    n_buckets: int = 64,
+    ngram_n: int = 1,
+    smoothing: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+) -> DataFrame:
+    """Supervised model-based quality filtering (the fastText-classifier
+    step of CCNet/GPT-3/DataComp pipelines, Wenzek et al. 2020 §4.3 /
+    Brown et al. 2020 §A): a multinomial Naive Bayes linear classifier
+    over hashed n-grams — log-odds weight per feature bucket learned from
+    a labeled train set (label >= 0.5 is the quality class), every
+    candidate document scored by summed bucket log-odds + class log-prior
+    and squashed to a probability.
+
+    NB is the distributed-training-friendly member of the linear-filter
+    family: training is pure counting (no iterations, no state), so at
+    100 TB it is exactly two hash aggregations — the same physical shape
+    a trained fastText model's SERVING side has. The feature/scoring
+    machinery is shared with :func:`importance_weights` (an NB classifier
+    IS the DSIR log-likelihood ratio with labeled classes + a prior).
+
+    Returns (doc_id, n_grams, logit, prob, keep): logit = class log-prior
+    + summed per-gram log-odds (6 dp), prob = sigmoid(logit) (6 dp),
+    keep = prob >= ``threshold``. Gram-less documents score the prior
+    alone. Both classes must be non-empty.
+
+    Physical shape: class distributions aggregate to ``n_buckets`` rows
+    and broadcast (importance_weights); the prior is a 1-row aggregate
+    cross-joined in — no count() job, no collected vocabulary; candidate
+    text crosses only the per-doc rollup exchange."""
+    pos = train.filter(F.col(label_col).cast("double") >= 0.5).select(id_col, text_col)
+    neg = train.filter(F.col(label_col).cast("double") < 0.5).select(id_col, text_col)
+    scored = importance_weights(
+        docs, target=pos, raw=neg, n_buckets=n_buckets, ngram_n=ngram_n,
+        smoothing=smoothing, id_col=id_col, text_col=text_col,
+    )
+    s = float(smoothing)
+    prior = train.agg(
+        F.round(
+            F.log(
+                (F.sum((F.col(label_col).cast("double") >= 0.5).cast("long")) + s)
+                / (F.sum((F.col(label_col).cast("double") < 0.5).cast("long")) + s)
+            ),
+            6,
+        ).alias("log_prior")
+    )
+    logit = F.round(F.col("log_weight") + F.col("log_prior"), 6)
+    return (
+        scored.crossJoin(F.broadcast(prior))
+        .withColumn("logit", logit)
+        .withColumn("prob", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 6))
+        .select(
+            "doc_id",
+            "n_grams",
+            "logit",
+            "prob",
+            (F.col("prob") >= threshold).alias("keep"),
+        )
     )

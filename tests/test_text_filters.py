@@ -363,3 +363,38 @@ def test_cross_doc_line_dedup_keeps_canonical_only(spark):
     spared = {r.doc_id: r for r in cross_doc_line_dedup(docs, min_occurrences=3).collect()}
     assert spared[4].cleaned_text == "twice seen"
     assert spared[2].cleaned_text == "unique two"  # 3 occurrences still dedup
+
+
+def test_nb_quality_classifier_separates_and_scores_prior(spark):
+    """NB classifier: clearly-separable vocabularies classify correctly;
+    a gram-less document scores the class prior alone; probabilities are
+    monotone in the logit and keep == (prob >= threshold)."""
+    import math
+
+    from pilsner_spark.operators.text_filters import nb_quality_classifier
+
+    train = spark.createDataFrame(
+        [
+            (1, "good clean prose text", 1.0),
+            (2, "good curated quality words", 1.0),
+            (3, "spam spam junk junk", 0.0),
+            (4, "junk garbage spam noise", 0.0),
+        ],
+        "doc_id long, text string, label double",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "good quality prose"),
+            (11, "spam junk garbage"),
+            (12, ""),  # gram-less: prior alone
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in nb_quality_classifier(docs, train).collect()}
+    assert got[10].keep and not got[11].keep
+    assert got[10].prob > 0.5 > got[11].prob
+    # balanced classes: prior = ln(3/3) = 0 -> empty doc sits at 0.5 exactly
+    assert (got[12].n_grams, got[12].logit, got[12].prob) == (0, 0.0, 0.5)
+    assert got[12].keep  # >= threshold inclusive
+    for r in got.values():
+        assert r.prob == round(1.0 / (1.0 + math.exp(-r.logit)), 6)
