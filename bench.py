@@ -41,6 +41,9 @@ HEADLINE = [
     "dedup_semantic",
     "decontaminate_embedding",
     "c4_line_filter",
+    "line_dedup_crossdoc",
+    "quality_classifier",
+    "er_threshold_sweep",
     "quality_gopher_rules",
     "importance_weights",
     "quality_bigram_lm",

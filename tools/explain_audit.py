@@ -245,6 +245,34 @@ CHECKS = {
             ("no Python nodes", r"EvalPython|MapInPandas"),
         ],
     },
+    # NB quality classifier: bucket log-odds broadcast onto the candidate
+    # gram stream (importance_weights machinery), the 1-row prior riding a
+    # broadcast nested-loop cross join — candidate text crosses only the
+    # per-doc rollup, nothing in Python
+    "quality_classifier": {
+        "want": [
+            ("bucket log-odds table broadcast", r"BroadcastHashJoin"),
+            ("1-row class prior broadcast cross-joined", r"BroadcastNestedLoopJoin"),
+            ("partial aggregation before the doc rollup", r"HashAggregate"),
+            ("whole-stage codegen (or AQE runtime-compiled)", r"codegen id|AdaptiveSparkPlan"),
+        ],
+        "avoid": [
+            ("no sort-merge join", r"SortMergeJoin"),
+            ("no Python nodes", r"EvalPython|MapInPandas"),
+        ],
+    },
+    # corpus-level line dedup: line-hash agg with map-side partials (the
+    # skew-proof collapse of hot boilerplate lines), everything JVM
+    "line_dedup_crossdoc": {
+        "want": [
+            ("line-hash agg partial-aggregates map-side", r"HashAggregate"),
+            ("line explode is a Generate node", r"Generate"),
+            ("whole-stage codegen (or AQE runtime-compiled)", r"codegen id|AdaptiveSparkPlan"),
+        ],
+        "avoid": [
+            ("no Python nodes", r"EvalPython|MapInPandas"),
+        ],
+    },
     # chunking is a pure projection: sequence/slice/posexplode under
     # codegen — no shuffle, no Python
     "chunk_documents": {
