@@ -1096,6 +1096,20 @@ def q_line_dedup_crossdoc(spark, sf_dir):
     return cross_doc_line_dedup(docs)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) over the
+    documents corpus: one corpus word-count shuffle, then every merge
+    iteration is a hash agg over the DISTINCT-WORD table + a 1-row argmax
+    collect. Iterative algorithm — no SQL oracle per the driver contract
+    (rows-only check); parity vs a pure-Python subword-nmt reference is
+    pinned by tests/test_tokenizer.py. Deterministic: ties break
+    (count desc, left asc, right asc)."""
+    from pilsner_spark.operators.tokenizer import learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, n_merges=12)
+
+
 def q_quality_classifier(spark, sf_dir):
     """Supervised model-based quality filter (CCNet/GPT-3 fastText step,
     NB form): trained on the even-doc_id half (label = source=='src0'),
@@ -1273,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_threshold_sweep": q_er_threshold_sweep,
         "line_dedup_crossdoc": q_line_dedup_crossdoc,
         "quality_classifier": q_quality_classifier,
+        "bpe_merges": q_bpe_merges,
         "quality_bigram_lm": q_quality_bigram_lm,
         "chunk_documents": q_chunk_documents,
         "events_asof_join": q_events_asof_join,

@@ -1,0 +1,234 @@
+"""Distributed BPE tokenizer training + application.
+
+A pretraining-corpus build ends at a tokenizer; training one over the
+corpus it will serve (Sennrich et al. 2016, "Neural Machine Translation
+of Rare Words with Subword Units") is the last genuinely corpus-scale
+job in the pipeline. The single-machine implementations (the original
+subword-nmt, HF tokenizers) hold the word-count table in memory; this
+module re-expresses the algorithm in the engine's shapes so the corpus
+never needs to fit anywhere:
+
+* ``word_counts`` — ONE corpus-wide shuffle (hash agg with map-side
+  partials). Everything after runs on the DISTINCT-WORD table, which is
+  orders of magnitude smaller than the corpus (vocabulary grows ~ with
+  the log of corpus size, not linearly).
+* ``learn_bpe_merges`` — the Sennrich loop: count adjacent symbol pairs
+  weighted by word count (overlapping zip-style occurrences, matching
+  subword-nmt's get_stats), merge the most frequent pair everywhere
+  (greedy left-to-right, JVM ``aggregate`` expression — no Python), and
+  repeat. Each merge iteration is one hash-agg job + a 1-row argmax
+  collect over the vocabulary table; lineage is truncated by periodic
+  localCheckpoint so iteration N does not replay iterations 1..N-1.
+  Deterministic: ties break (count desc, left asc, right asc).
+* ``bpe_segment_words`` — application. Segmenting is per-WORD, so it
+  runs once per distinct word (an Arrow-batched pandas UDF over the
+  vocabulary table: Python cost O(vocabulary), never O(corpus) — the
+  standard trick that makes Python affordable here), and the corpus
+  joins the resulting segmentation table by word.
+* ``bpe_token_count`` — per-document BPE token counts via that join:
+  corpus text crosses one explode + one join + one rollup; the
+  segmentation table broadcasts when it fits, AQE decides otherwise.
+
+The learning loop is an iterative algorithm — per the driver contract
+these are exempt from the SQL oracle (rows-only correctness check);
+parity is pinned instead against an in-test pure-Python reference
+implementation of subword-nmt's algorithm (test_tokenizer.py).
+
+Reference anchor: pgolo/pilsner has no tokenizer; this extends the
+engine for the training-data mandate. Cited method is public
+literature (Sennrich et al., ACL 2016).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pilsner_spark.functions.text import tokens
+
+__all__ = [
+    "word_counts",
+    "learn_bpe_merges",
+    "bpe_segment_words",
+    "bpe_token_count",
+    "END_OF_WORD",
+]
+
+END_OF_WORD = "</w>"
+
+
+def word_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(word, count) over whitespace tokens — the one corpus-wide shuffle
+    of the tokenizer build (hash agg, map-side partials)."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _symbols(word_col):
+    """Initial symbol sequence: characters + the end-of-word marker as its
+    own symbol (Sennrich's setup — merges crossing the marker learn
+    word-final subwords)."""
+    return F.concat(F.split(word_col, ""), F.array(F.lit(END_OF_WORD)))
+
+
+def _adjacent_pairs(syms_col):
+    """All adjacent (left, right) symbol pairs, overlapping zip-style —
+    the counting convention of subword-nmt's get_stats."""
+    return F.when(
+        F.size(syms_col) < 2, F.array().cast("array<struct<left:string,right:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms_col) - 1),
+            lambda i: F.struct(
+                F.element_at(syms_col, i).alias("left"),
+                F.element_at(syms_col, i + 1).alias("right"),
+            ),
+        )
+    )
+
+
+def _merge_pair(syms_col, left: str, right: str):
+    """Greedy left-to-right merge of every adjacent (left, right) into the
+    concatenated symbol — a pure JVM aggregate expression. 'aaa' under
+    (a, a) becomes ['aa', 'a']: a freshly merged symbol never re-merges
+    with the next element in the same pass, matching subword-nmt."""
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(left + right))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 50,
+    min_pair_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+    counts: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Learn a BPE merge table from the corpus. Returns a DataFrame
+    (rank, left, right, merged, pair_count): rank is merge order (0-based,
+    application order), pair_count the weighted adjacent-pair frequency
+    that won the rank. Stops early when no pair reaches
+    ``min_pair_count`` (the returned table is then shorter than
+    ``n_merges`` — visible, not padded).
+
+    Each iteration costs one hash-agg job over the vocabulary table plus
+    a 1-row collect (the argmax pair); the vocabulary's symbol arrays are
+    re-derived by a pure projection per merge and localCheckpoint'ed
+    every ``checkpoint_every`` merges so lineage stays flat. Pass
+    ``counts`` (a (word, count) DataFrame) to skip the corpus scan —
+    e.g. the persisted output of :func:`word_counts`."""
+    wc = counts if counts is not None else word_counts(docs, id_col, text_col)
+    vocab = wc.select(_symbols(F.col("word")).alias("syms"), "count").localCheckpoint()
+    merges: List[Tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            vocab.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "count")
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("count").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pair_count"] < min_pair_count:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
+        merges.append((rank, left, right, left + right, cnt))
+        vocab = vocab.select(_merge_pair(F.col("syms"), left, right).alias("syms"), "count")
+        if (rank + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    spark = docs.sparkSession if docs is not None else wc.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    )
+
+
+def bpe_segment_words(
+    words: DataFrame, merges: List[Tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """Segment each distinct word with a learned merge list. Returns the
+    input plus ``segments`` (array<string>) and ``n_segments``.
+
+    The merge list is a driver-side Python list (it IS tiny — n_merges
+    rows); application is an Arrow-batched pandas UDF over the DISTINCT
+    word table, so the Python cost is O(vocabulary) — the corpus-sized
+    join happens downstream in the JVM (:func:`bpe_token_count`)."""
+    merge_list = [(str(a), str(b)) for a, b in merges]
+
+    @F.pandas_udf("array<string>")
+    def _segment(col: pd.Series) -> pd.Series:
+        def seg(w):
+            syms = list(w) + [END_OF_WORD]
+            for a, b in merge_list:
+                out = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                syms = out
+            return syms
+
+        return col.map(seg)
+
+    return words.withColumn("segments", _segment(F.col(word_col))).withColumn(
+        "n_segments", F.size("segments")
+    )
+
+
+def bpe_token_count(
+    docs: DataFrame,
+    merges: List[Tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BPE token count under a learned merge list:
+    (doc_id, n_words, n_bpe_tokens). The real packing currency — a
+    token-budget packer fed whitespace counts over- or under-fills bins
+    by the words-per-token ratio.
+
+    Physical shape: the corpus explodes to (doc_id, word) once; the
+    segmentation table (distinct words x n_segments, Python-cost
+    O(vocabulary)) joins in — broadcast when it fits, AQE otherwise —
+    and one per-doc rollup closes. Wordless documents get explicit
+    zeros."""
+    occurrences = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    seg = bpe_segment_words(occurrences.select("word").distinct(), merges).select(
+        "word", "n_segments"
+    )
+    counted = (
+        occurrences.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_segments").alias("n_bpe_tokens"),
+        )
+    )
+    empty = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")).filter(
+        F.size(tokens(F.col("_t"))) == 0
+    )
+    return counted.unionByName(
+        empty.select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_words"),
+            F.lit(0).cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

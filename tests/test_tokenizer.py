@@ -1,0 +1,146 @@
+"""Distributed BPE (operators/tokenizer.py) vs an in-test pure-Python
+reference implementation of subword-nmt's algorithm (Sennrich et al.
+2016), on the paper's classic example corpus. Same deterministic
+tie-break in both: (count desc, left asc, right asc)."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from pilsner_spark.operators.tokenizer import (
+    END_OF_WORD,
+    bpe_segment_words,
+    bpe_token_count,
+    learn_bpe_merges,
+    word_counts,
+)
+
+# the Sennrich et al. 2016 example vocabulary, as a corpus
+CORPUS = []
+for _w, _n in [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]:
+    CORPUS.extend([_w] * _n)
+
+
+def ref_learn(vocab_counts, n_merges, min_pair_count=2):
+    """Pure-Python subword-nmt: overlapping pair counts weighted by word
+    count; greedy left-to-right merge; deterministic tie-break."""
+    vocab = {tuple(w) + (END_OF_WORD,): c for w, c in vocab_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        stats = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += c
+        if not stats:
+            break
+        pair = min(stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if pair[1] < min_pair_count:
+            break
+        (a, b), cnt = pair
+        merges.append((a, b, a + b, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def ref_segment(word, merges):
+    syms = list(word) + [END_OF_WORD]
+    for a, b, _m, _c in merges:
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_bpe_merges_match_reference(spark):
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    got = [
+        (r.left, r.right, r.merged, r.pair_count)
+        for r in learn_bpe_merges(docs, n_merges=10).orderBy("rank").collect()
+    ]
+    want = ref_learn({"low": 5, "lower": 2, "newest": 6, "widest": 3}, 10)
+    assert got == want
+    # ('e','s') and ('s','t') tie at 9 (newest x6 + widest x3); the
+    # deterministic tie-break picks the lexicographically smaller pair —
+    # the paper's ('s','t') merge lands at rank 1 after 'es' wins rank 0
+    assert got[0][:2] == ("e", "s") and got[0][3] == 9
+    assert got[1][:2] == ("es", "t") and got[1][3] == 9
+    # early stop is visible, not padded: min_pair_count high -> short table
+    short = learn_bpe_merges(docs, n_merges=10, min_pair_count=9).collect()
+    assert 0 < len(short) < len(got)
+    assert all(r.pair_count >= 9 for r in short)
+
+
+def test_bpe_segmentation_matches_reference(spark):
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    merge_rows = learn_bpe_merges(docs, n_merges=10).orderBy("rank").collect()
+    merges = [(r.left, r.right) for r in merge_rows]
+    ref = [(r.left, r.right, r.merged, r.pair_count) for r in merge_rows]
+    words = spark.createDataFrame(
+        [("lowest",), ("newest",), ("low",), ("wider",), ("unseen",)], "word string"
+    )
+    got = {r.word: list(r.segments) for r in bpe_segment_words(words, merges).collect()}
+    for w in got:
+        assert got[w] == ref_segment(w, ref), w
+    # learned subwords actually compress: 'newest' was trained on
+    assert len(got["newest"]) < len("newest") + 1
+
+
+def test_bpe_token_count_rollup(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower newest"),
+            (2, "newest newest"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    merge_rows = (
+        learn_bpe_merges(
+            spark.createDataFrame([(i, w) for i, w in enumerate(CORPUS)], "doc_id long, text string"),
+            n_merges=10,
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    merges = [(r.left, r.right) for r in merge_rows]
+    ref = [(r.left, r.right, r.merged, r.pair_count) for r in merge_rows]
+    got = {r.doc_id: r for r in bpe_token_count(docs, merges).collect()}
+    exp1 = sum(len(ref_segment(w, ref)) for w in ["low", "lower", "newest"])
+    exp2 = 2 * len(ref_segment("newest", ref))
+    assert (got[1].n_words, got[1].n_bpe_tokens) == (3, exp1)
+    assert (got[2].n_words, got[2].n_bpe_tokens) == (2, exp2)
+    assert (got[3].n_words, got[3].n_bpe_tokens) == (0, 0)
+
+
+def test_bpe_learn_accepts_precomputed_counts(spark):
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    wc = word_counts(docs)
+    assert {r.word: r["count"] for r in wc.collect()} == {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3,
+    }
+    via_counts = [
+        (r.left, r.right) for r in learn_bpe_merges(None, n_merges=5, counts=wc).orderBy("rank").collect()
+    ]
+    direct = [
+        (r.left, r.right) for r in learn_bpe_merges(docs, n_merges=5).orderBy("rank").collect()
+    ]
+    assert via_counts == direct
