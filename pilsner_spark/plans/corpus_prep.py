@@ -147,6 +147,7 @@ def run_corpus_prep(
     dsir_target: Optional[DataFrame] = None,
     dsir_top_k: Optional[int] = None,
     dsir_buckets: int = 64,
+    bpe_merges: Optional[int] = None,
 ) -> Dict[str, object]:
     """Run (or resume) the corpus-prep pipeline. ``docs`` needs (doc_id,
     text); ``benchmark`` (optional) is the eval set to decontaminate
@@ -181,6 +182,7 @@ def run_corpus_prep(
         "dsir_top_k": dsir_top_k,
         "dsir_buckets": dsir_buckets,
         "has_dsir_target": dsir_target is not None,
+        "bpe_merges": bpe_merges,
     }
     pipe = Pipeline(spark, workdir, params)
     docs = docs.select("doc_id", "text")
@@ -280,14 +282,34 @@ def run_corpus_prep(
         # selection keeps only ids + weights; re-attach the filtered columns
         selected = filtered.join(dsir.select("doc_id"), "doc_id")
 
+    # the packing currency: whitespace counts by default; with
+    # bpe_merges set, a tokenizer is TRAINED on the selected corpus and
+    # per-doc BPE token counts become the currency (the counts a real
+    # sequence packer bills against — whitespace counts misfill bins by
+    # the words-per-token ratio). Learning + counting checkpoint as one
+    # stage; resume skips the relearning entirely.
+    token_source = selected.select("doc_id", "n_tokens")
+    if bpe_merges:
+        from pilsner_spark.operators.tokenizer import bpe_token_count, learn_bpe_merges
+
+        def build_bpe() -> DataFrame:
+            merge_rows = (
+                learn_bpe_merges(selected.select("doc_id", "text"), n_merges=bpe_merges)
+                .orderBy("rank")
+                .collect()
+            )
+            pairs = [(r.left, r.right) for r in merge_rows]
+            return bpe_token_count(selected.select("doc_id", "text"), pairs)
+
+        bpe = pipe.stage("bpe_counts", build_bpe)
+        token_source = bpe.select("doc_id", F.col("n_bpe_tokens").alias("n_tokens"))
+
     # assignment only (doc_id, n_tokens, split): the corpus text already
     # lives in the corpus_filtered checkpoint — re-materializing it here
     # would double the pipeline's largest write for a 1-column projection
     splits = pipe.stage(
         "splits",
-        lambda: deterministic_split(
-            selected.select("doc_id", "n_tokens"), "doc_id", split_weights, seed=split_seed
-        ),
+        lambda: deterministic_split(token_source, "doc_id", split_weights, seed=split_seed),
     )
 
     packed: Dict[str, DataFrame] = {}
@@ -359,6 +381,10 @@ def main() -> None:
                         "base quality thresholds, with word/stopword/"
                         "mean-length rules scaled to the 10-99-token "
                         "synthetic corpus")
+    parser.add_argument("--bpe-merges", type=int, default=0,
+                        help="> 0 trains a BPE tokenizer (this many merges) on the "
+                        "selected corpus and packs by per-doc BPE token counts "
+                        "instead of whitespace counts")
     parser.add_argument("--dsir-top-frac", type=float, default=0.0,
                         help="> 0 turns on DSIR selection: keep this fraction of "
                         "the input count, by importance weight vs the source='src0' "
@@ -402,6 +428,7 @@ def main() -> None:
                              pack_budget=args.pack_budget, c4_params=c4_params,
                              line_dedup_params=line_dedup_params,
                              gopher_params=gopher_params,
+                             bpe_merges=args.bpe_merges or None,
                              dsir_target=dsir_target, dsir_top_k=dsir_top_k)
     out = {"metrics": result["metrics"]}
     print(json.dumps(out, default=str))

@@ -187,3 +187,16 @@ def test_corpus_prep_line_dedup_stage(spark, tmp_path):
     assert retained[1].startswith(banner)  # canonical occurrence survives
     assert banner not in retained[2]  # stripped everywhere else
     assert "weather" in retained[2]  # unique content intact
+
+
+def test_corpus_prep_bpe_packing_currency(spark, corpus, tmp_path):
+    """--bpe-merges: a tokenizer is trained on the selected corpus and
+    packing bills per-doc BPE token counts — strictly more tokens than
+    whitespace words (every word is >= 1 segment; unmerged chars more)."""
+    res = run_corpus_prep(spark, str(tmp_path / "wd_bpe"), corpus, bpe_merges=8)
+    assert "bpe_counts" in res["metrics"]
+    ws = {r.doc_id: r.n_tokens for r in res["filtered"].collect()}
+    packed_tokens = {r.doc_id: r.n_tokens for r in res["splits"].collect()}
+    assert set(packed_tokens) == set(ws)
+    for d in ws:
+        assert packed_tokens[d] >= ws[d]  # BPE segments >= whitespace words
