@@ -123,7 +123,12 @@ def main() -> None:
     # n_probe=4/16 cells, for the oracle-checkable sample centroids, the
     # trained k-means index, and the composed IVF-PQ scale path (charges
     # probe pruning + codeword quantization together)
-    from pilsner_spark.operators.ann import ivf_pq_recall_at_k, kmeans_centroids, recall_at_k
+    from pilsner_spark.operators.ann import (
+        ivf_pq_recall_at_k,
+        kmeans_centroids,
+        kmeans_pq_codebooks,
+        recall_at_k,
+    )
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     annq = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -138,6 +143,21 @@ def main() -> None:
         # poorly at that size (measured 0.28 recall vs 0.78 here)
         "ivf_pq": round(
             ivf_pq_recall_at_k(emb, annq, k=5, m=16, n_codes=256, n_cells=16, n_probe=4), 3
+        ),
+        # k-means-trained subquantizer codebooks (the Jégou training step;
+        # the gap to `ivf_pq` is what seed-vs-trained codewords cost)
+        "ivf_pq_trained": round(
+            ivf_pq_recall_at_k(
+                emb,
+                annq,
+                k=5,
+                m=16,
+                n_codes=256,
+                n_cells=16,
+                n_probe=4,
+                codebooks=kmeans_pq_codebooks(emb, m=16, n_codes=256, iters=3),
+            ),
+            3,
         ),
         # exact re-ranking of the top k x 4 PQ candidates (Faiss IVFPQR
         # shape): the residual miss here is probe pruning alone — the gap

@@ -228,6 +228,75 @@ def pq_codebooks(
     )
 
 
+def kmeans_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """k-means-TRAINED product-quantization codebooks (Jégou 2011 trains
+    each subquantizer with Lloyd's algorithm; the deterministic-sample
+    :func:`pq_codebooks` is the oracle-exact seed, this is the quality
+    path). Same output schema (m, code, c_sub) — drops into
+    :func:`pq_encode` / :func:`ivf_pq_topk` unchanged.
+
+    All ``m`` subspace k-means run in ONE grouped dataflow, not m
+    sequential jobs: subvectors explode to N x m rows once per iteration,
+    join the broadcast O(m x n_codes) codebook, argmin per (vector,
+    subspace) via ``min_by`` hash aggregation (map-side partials — no
+    window), and the new codewords are one (m, code, pos) mean
+    aggregation. Codes that lose every member disappear (standard k-means
+    behavior; encoding still works — fewer codewords in that subspace).
+    Distance is squared-L2, identical to :func:`pq_encode`, so training
+    optimizes exactly the quantizer the encoder applies."""
+    if dim is None:
+        dim = vectors.select(F.size(F.col(vec_col))).first()[0]
+    sub = dim // m
+    parts = F.array(
+        *[
+            F.struct(F.lit(i).alias("m"), F.slice(F.col("v"), i * sub + 1, sub).alias("v_sub"))
+            for i in range(m)
+        ]
+    )
+    subs = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .select("vec_id", F.explode(parts).alias("p"))
+        .select("vec_id", F.col("p.m").alias("m"), F.col("p.v_sub").alias("v_sub"))
+        .localCheckpoint()
+    )
+    books = pq_codebooks(vectors, m, n_codes, id_col, vec_col, dim).localCheckpoint()
+    for _ in range(iters):
+        # group per (vector, subspace) — NOT per distinct subvector value,
+        # which would dedup repeats and mis-weight the means
+        assigned = (
+            subs.join(F.broadcast(books), "m")
+            .withColumn("d", _sq_l2(F.col("v_sub"), F.col("c_sub")))
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min_by("code", F.struct(F.col("d"), F.col("code"))).alias("code"),
+                F.any_value("v_sub").alias("v_sub"),
+            )
+        )
+        books = (
+            assigned.select("m", "code", F.posexplode("v_sub").alias("pos", "x"))
+            .groupBy("m", "code", "pos")
+            .agg(F.avg("x").alias("mean"))
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mean"))), lambda s: s["mean"]
+                ).alias("c_sub")
+            )
+            .localCheckpoint()
+        )
+    return books
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: DataFrame,
@@ -553,12 +622,14 @@ def ivf_pq_recall_at_k(
     query_id_col: str = "query_id",
     centroids: Optional[DataFrame] = None,
     refine_factor: int = 0,
+    codebooks: Optional[DataFrame] = None,
 ) -> float:
     """Fraction of brute-force top-k the composed IVF-PQ path recovers —
     charges BOTH approximation sources at once (probe pruning + codeword
     quantization), the honest quality number for the scale path.
     ``refine_factor`` > 0 measures the exact-re-ranked variant (the
-    residual miss is then probe pruning alone)."""
+    residual miss is then probe pruning alone); ``codebooks`` measures a
+    trained quantizer (:func:`kmeans_pq_codebooks`)."""
     truth = brute_force_topk(vectors, queries, k, id_col, vec_col, query_id_col)
     approx = ivf_pq_topk(
         vectors,
@@ -573,6 +644,7 @@ def ivf_pq_recall_at_k(
         query_id_col,
         centroids=centroids,
         refine_factor=refine_factor,
+        codebooks=codebooks,
     )
     hits = truth.join(
         approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"

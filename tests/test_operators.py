@@ -857,3 +857,47 @@ def test_threshold_sweep_confusion_and_conventions(spark):
     only_neg = spark.createDataFrame([(0.1, 0.0)], "score double, label double")
     r2 = threshold_sweep(only_neg, [0.5]).collect()[0]
     assert (r2.precision, r2.recall, r2.f1) == (1.0, 1.0, 1.0)
+
+def test_ann_pq_trained_codebooks_reduce_quantization_error(spark, vectors):
+    """k-means-trained PQ codebooks: same (m, code, c_sub) schema as the
+    sample seed (drop-in for pq_encode/ivf_pq_topk), and the total
+    squared-L2 quantization error NEVER exceeds the seed's — Lloyd's
+    monotone-objective guarantee, the invariant training actually gives
+    (recall is data-dependent: on this fixture the seeds coincide with the
+    8 directions and are already recall-perfect, yet have higher MSE)."""
+    from pilsner_spark.operators.ann import (
+        kmeans_pq_codebooks,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    def total_error(cb):
+        codes = pq_encode(vectors, cb, m=2)
+        sub = 2  # 4-dim fixture, m=2
+        parts = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("m"),
+                    F.slice(F.col("embedding").cast("array<double>"), i * sub + 1, sub).alias("v_sub"),
+                )
+                for i in range(2)
+            ]
+        )
+        subs = vectors.select("vec_id", F.explode(parts).alias("p")).select(
+            "vec_id", F.col("p.m").alias("m"), F.col("p.v_sub").alias("v_sub")
+        )
+        joined = subs.join(codes, ["vec_id", "m"]).join(cb, ["m", "code"])
+        err = joined.select(
+            F.aggregate(
+                F.zip_with(F.col("v_sub"), F.col("c_sub"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("e")
+        )
+        return err.agg(F.sum("e")).first()[0]
+
+    sample = pq_codebooks(vectors, m=2, n_codes=4).localCheckpoint()
+    trained = kmeans_pq_codebooks(vectors, m=2, n_codes=4, iters=3).localCheckpoint()
+    assert set(trained.columns) == set(sample.columns)
+    assert trained.count() <= 2 * 4  # empty codes may vanish, never grow
+    assert total_error(trained) <= total_error(sample) + 1e-9
