@@ -39,6 +39,8 @@ mandate; cited methods are public literature.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -798,18 +800,24 @@ def nb_quality_classifier(
         smoothing=smoothing, id_col=id_col, text_col=text_col,
     )
     s = float(smoothing)
-    prior = train.agg(
-        F.round(
-            F.log(
-                (F.sum((F.col(label_col).cast("double") >= 0.5).cast("long")) + s)
-                / (F.sum((F.col(label_col).cast("double") < 0.5).cast("long")) + s)
-            ),
-            6,
-        ).alias("log_prior")
-    )
-    logit = F.round(F.col("log_weight") + F.col("log_prior"), 6)
+    # the prior is one tiny aggregate over the labeled train set — collect
+    # it so an empty class fails LOUDLY here (lazily it would surface as
+    # silent null weights: an empty class makes the class distribution's
+    # total null inside importance_weights' log ratios)
+    counts_row = train.agg(
+        F.sum((F.col(label_col).cast("double") >= 0.5).cast("long")).alias("n_pos"),
+        F.sum((F.col(label_col).cast("double") < 0.5).cast("long")).alias("n_neg"),
+    ).first()
+    n_pos, n_neg = counts_row["n_pos"] or 0, counts_row["n_neg"] or 0
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"nb_quality_classifier needs both classes in train: "
+            f"n_pos={n_pos}, n_neg={n_neg} (label_col={label_col!r}, >= 0.5 is positive)"
+        )
+    log_prior = round(math.log((n_pos + s) / (n_neg + s)), 6)
+    logit = F.round(F.col("log_weight") + F.lit(log_prior), 6)
     return (
-        scored.crossJoin(F.broadcast(prior))
+        scored
         .withColumn("logit", logit)
         .withColumn("prob", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 6))
         .select(

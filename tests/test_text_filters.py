@@ -398,3 +398,14 @@ def test_nb_quality_classifier_separates_and_scores_prior(spark):
     assert got[12].keep  # >= threshold inclusive
     for r in got.values():
         assert r.prob == round(1.0 / (1.0 + math.exp(-r.logit)), 6)
+
+
+def test_nb_quality_classifier_empty_class_fails_loudly(spark):
+    import pytest
+
+    from pilsner_spark.operators.text_filters import nb_quality_classifier
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    all_pos = spark.createDataFrame([(1, "a b", 1.0)], "doc_id long, text string, label double")
+    with pytest.raises(ValueError, match="both classes"):
+        nb_quality_classifier(docs, all_pos)
