@@ -1983,7 +1983,7 @@ def oracle_sql() -> dict[str, str]:
             "b as (select doc_id, source, cast(concat('0x', substr(md5(gram), 1, 15)) as bigint) % 64 as bucket from g), "
             "ct as (select bucket, count(*) as ct from b where source = 'src0' group by bucket), "
             "cr as (select bucket, count(*) as cr from b group by bucket), "
-            "tot as (select (select sum(ct) from ct) as tt, (select sum(cr) from cr) as tr), "
+            "tot as (select coalesce((select sum(ct) from ct), 0) as tt, coalesce((select sum(cr) from cr), 0) as tr), "
             "allb as (select gs.b as bucket from generate_series(0, 63) gs(b)), "
             "ratios as (select allb.bucket, cast(round(round("
             "  ln((coalesce(ct.ct, 0) + 1.0) / (tot.tt + 64.0)) - ln((coalesce(cr.cr, 0) + 1.0) / (tot.tr + 64.0)), 6) * 1000000) as bigint) as llr_micro "
@@ -2000,7 +2000,7 @@ def oracle_sql() -> dict[str, str]:
             "bt as (select * from b where doc_id % 2 = 0), "
             "ct as (select bucket, count(*) as ct from bt where source = 'src0' group by bucket), "
             "cr as (select bucket, count(*) as cr from bt where source != 'src0' group by bucket), "
-            "tot as (select (select sum(ct) from ct) as tt, (select sum(cr) from cr) as tr), "
+            "tot as (select coalesce((select sum(ct) from ct), 0) as tt, coalesce((select sum(cr) from cr), 0) as tr), "
             "allb as (select gs.b as bucket from generate_series(0, 63) gs(b)), "
             "ratios as (select allb.bucket, cast(round(round("
             "  ln((coalesce(ct.ct, 0) + 1.0) / (tot.tt + 64.0)) - ln((coalesce(cr.cr, 0) + 1.0) / (tot.tr + 64.0)), 6) * 1000000) as bigint) as llr_micro "
@@ -2020,7 +2020,7 @@ def oracle_sql() -> dict[str, str]:
             "b as (select doc_id, source, cast(concat('0x', substr(md5(gram), 1, 15)) as bigint) % 64 as bucket from g), "
             "ct as (select bucket, count(*) as ct from b where source = 'src0' group by bucket), "
             "cr as (select bucket, count(*) as cr from b group by bucket), "
-            "tot as (select (select sum(ct) from ct) as tt, (select sum(cr) from cr) as tr), "
+            "tot as (select coalesce((select sum(ct) from ct), 0) as tt, coalesce((select sum(cr) from cr), 0) as tr), "
             "allb as (select gs.b as bucket from generate_series(0, 63) gs(b)), "
             "ratios as (select allb.bucket, cast(round(round("
             "  ln((coalesce(ct.ct, 0) + 1.0) / (tot.tt + 64.0)) - ln((coalesce(cr.cr, 0) + 1.0) / (tot.tr + 64.0)), 6) * 1000000) as bigint) as llr_micro "
@@ -2037,7 +2037,7 @@ def oracle_sql() -> dict[str, str]:
             "b as (select doc_id, source, cast(concat('0x', substr(md5(gram), 1, 15)) as bigint) % 64 as bucket from g), "
             "ct as (select bucket, count(*) as ct from b where source = 'src0' group by bucket), "
             "cr as (select bucket, count(*) as cr from b group by bucket), "
-            "tot as (select (select sum(ct) from ct) as tt, (select sum(cr) from cr) as tr), "
+            "tot as (select coalesce((select sum(ct) from ct), 0) as tt, coalesce((select sum(cr) from cr), 0) as tr), "
             "allb as (select gs.b as bucket from generate_series(0, 63) gs(b)), "
             "ratios as (select allb.bucket, cast(round(round("
             "  ln((coalesce(ct.ct, 0) + 1.0) / (tot.tt + 64.0)) - ln((coalesce(cr.cr, 0) + 1.0) / (tot.tr + 64.0)), 6) * 1000000) as bigint) as llr_micro "

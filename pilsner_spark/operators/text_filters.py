@@ -451,7 +451,13 @@ def importance_weights(
             F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
         )
         .crossJoin(
-            t_counts.agg(F.sum("ct").alias("tt")).crossJoin(r_counts.agg(F.sum("cr").alias("tr")))
+            # an EMPTY distribution (target/raw with no grams) must not
+            # become silent null weights: coalesce its total to 0, so the
+            # add-k estimate degrades to the uniform distribution — every
+            # weight stays finite and the degradation is principled
+            t_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt")).crossJoin(
+                r_counts.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"))
+            )
         )
         .select(
             "bucket",

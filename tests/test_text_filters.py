@@ -409,3 +409,16 @@ def test_nb_quality_classifier_empty_class_fails_loudly(spark):
     all_pos = spark.createDataFrame([(1, "a b", 1.0)], "doc_id long, text string, label double")
     with pytest.raises(ValueError, match="both classes"):
         nb_quality_classifier(docs, all_pos)
+
+
+def test_importance_weights_empty_target_degrades_to_uniform(spark):
+    """An empty target distribution must not produce silent null weights:
+    the add-k estimate degrades to uniform — every weight finite, and the
+    llr reduces to ln(1/n_buckets) - ln(p_raw(bucket)) per gram."""
+    from pilsner_spark.operators.text_filters import importance_weights
+
+    docs = spark.createDataFrame([(1, "a b"), (2, "c d")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    rows = importance_weights(docs, target=empty, n_buckets=8).collect()
+    assert len(rows) == 2
+    assert all(r.log_weight is not None for r in rows)
