@@ -366,6 +366,7 @@ def threshold_sweep(
     thresholds,
     score_col: str = "score",
     label_col: str = "label",
+    score_decimals: int = 9,
 ) -> DataFrame:
     """Distributed precision/recall curve: confusion counts + P/R/F1 at
     every threshold, from ONE pass over the pair mass.
@@ -380,16 +381,20 @@ def threshold_sweep(
     is aggregated ONCE into an O(distinct rounded scores) histogram
     (hash agg, map-side partials), and the threshold sweep runs over that
     tiny histogram x len(thresholds) — the pair mass is never re-scanned
-    per threshold and never expands. Scores are rounded to 9 dp before
-    histogramming so the bucket count is bounded for pathological float
-    scores; thresholds compare against the rounded value (document scores
-    should be produced pre-rounded, as the repo's similarity scores are)."""
+    per threshold and never expands. Scores are rounded to
+    ``score_decimals`` before histogramming and thresholds compare
+    against the rounded value. Honest bound: the default 9 dp keeps the
+    repo's pre-rounded similarity scores bit-exact but does NOT compress
+    genuinely continuous scores (random doubles stay distinct at 9 dp) —
+    for a model-score column, pass 4 (caps the histogram at ~10^4 buckets,
+    far finer than any PR curve needs, so the histogram x thresholds
+    stream stays trivially small)."""
     t_df = pairs.sparkSession.createDataFrame(
         [(float(t),) for t in thresholds], "threshold double"
     )
     hist = (
         pairs.select(
-            F.round(F.col(score_col), 9).alias("s"),
+            F.round(F.col(score_col), score_decimals).alias("s"),
             (F.col(label_col).cast("double") >= 0.5).alias("pos"),
         )
         .groupBy("s", "pos")
