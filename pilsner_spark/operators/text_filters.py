@@ -63,6 +63,9 @@ __all__ = [
     "bigram_logprob_score",
     "cross_doc_line_dedup",
     "nb_quality_classifier",
+    "bucket_llr_table",
+    "nb_classifier_weights",
+    "nb_classifier_projection",
 ]
 
 
@@ -389,6 +392,66 @@ def gopher_quality_rules(
     )
 
 
+def bucket_llr_table(
+    target: DataFrame,
+    raw: DataFrame,
+    n_buckets: int = 64,
+    ngram_n: int = 1,
+    smoothing: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The hashed-n-gram log-likelihood-ratio table shared by DSIR
+    importance weighting and the NB quality classifier: per feature
+    bucket, ln(p_target/p_raw) under add-``smoothing`` estimates, rounded
+    to 6 dp, plus the integer micro-unit form summations use for
+    order-independent engine-exact rollups. O(n_buckets) rows — always
+    broadcastable. An EMPTY distribution coalesces its total to 0, so the
+    add-k estimate degrades to uniform — weights stay finite, never
+    silently null."""
+    from pilsner_spark.functions.text import md5_long
+
+    def grams(d):
+        return doc_ngrams(d, ngram_n, id_col, text_col).select(
+            F.pmod(md5_long(F.col("gram")), F.lit(n_buckets)).alias("bucket")
+        )
+
+    def dist(d, cname):
+        return grams(d).groupBy("bucket").agg(F.count(F.lit(1)).alias(cname))
+
+    t_counts = dist(target, "ct")
+    r_counts = dist(raw, "cr")
+    # cover all buckets (a candidate gram may hash to a bucket unseen in
+    # either distribution — smoothing still defines its ratio)
+    all_buckets = target.sparkSession.range(n_buckets).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    s = float(smoothing)
+    return (
+        all_buckets.join(t_counts, "bucket", "left")
+        .join(r_counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+            F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+        )
+        .crossJoin(
+            t_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt")).crossJoin(
+                r_counts.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"))
+            )
+        )
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.col("ct") + s) / (F.col("tt") + s * n_buckets))
+                - F.log((F.col("cr") + s) / (F.col("tr") + s * n_buckets)),
+                6,
+            ).alias("llr"),
+        )
+        .withColumn("llr_micro", F.round(F.col("llr") * 1e6).cast("bigint"))
+    )
+
+
 def importance_weights(
     docs: DataFrame,
     target: DataFrame,
@@ -428,46 +491,9 @@ def importance_weights(
         raw = docs
     from pilsner_spark.functions.text import md5_long
 
-    def grams(d):
-        return doc_ngrams(d, ngram_n, id_col, text_col).select(
-            F.pmod(md5_long(F.col("gram")), F.lit(n_buckets)).alias("bucket")
-        )
-
-    def dist(d, cname):
-        return grams(d).groupBy("bucket").agg(F.count(F.lit(1)).alias(cname))
-
-    t_counts = dist(target, "ct")
-    r_counts = dist(raw, "cr")
-    # cover all buckets (a candidate gram may hash to a bucket unseen in
-    # either distribution — smoothing still defines its ratio)
-    all_buckets = docs.sparkSession.range(n_buckets).select(F.col("id").cast("bigint").alias("bucket"))
-    s = float(smoothing)
-    ratios = (
-        all_buckets.join(t_counts, "bucket", "left")
-        .join(r_counts, "bucket", "left")
-        .select(
-            "bucket",
-            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
-            F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
-        )
-        .crossJoin(
-            # an EMPTY distribution (target/raw with no grams) must not
-            # become silent null weights: coalesce its total to 0, so the
-            # add-k estimate degrades to the uniform distribution — every
-            # weight stays finite and the degradation is principled
-            t_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt")).crossJoin(
-                r_counts.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"))
-            )
-        )
-        .select(
-            "bucket",
-            F.round(
-                F.log((F.col("ct") + s) / (F.col("tt") + s * n_buckets))
-                - F.log((F.col("cr") + s) / (F.col("tr") + s * n_buckets)),
-                6,
-            ).alias("llr"),
-        )
-        .withColumn("llr_micro", F.round(F.col("llr") * 1e6).cast("bigint"))
+    ratios = bucket_llr_table(
+        target, raw, n_buckets=n_buckets, ngram_n=ngram_n, smoothing=smoothing,
+        id_col=id_col, text_col=text_col,
     )
     doc_grams = doc_ngrams(docs, ngram_n, id_col, text_col).select(
         "doc_id", F.pmod(md5_long(F.col("gram")), F.lit(n_buckets)).alias("bucket")
@@ -833,4 +859,86 @@ def nb_quality_classifier(
             "prob",
             (F.col("prob") >= threshold).alias("keep"),
         )
+    )
+
+
+def nb_classifier_weights(
+    train: DataFrame,
+    n_buckets: int = 64,
+    ngram_n: int = 1,
+    smoothing: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+):
+    """Train-and-collect: the NB classifier's serving artifact —
+    (micro_weights, log_prior) where micro_weights[bucket] is the
+    per-bucket log-odds in integer micro-units (a list of ``n_buckets``
+    ints — bytes, not gigabytes) and log_prior the 6-dp class prior.
+    Training stays distributed (two hash aggs via
+    :func:`bucket_llr_table`); only the O(n_buckets) result is collected.
+    Fails loudly on an empty class, like :func:`nb_quality_classifier`."""
+    pos = train.filter(F.col(label_col).cast("double") >= 0.5).select(id_col, text_col)
+    neg = train.filter(F.col(label_col).cast("double") < 0.5).select(id_col, text_col)
+    counts_row = train.agg(
+        F.sum((F.col(label_col).cast("double") >= 0.5).cast("long")).alias("n_pos"),
+        F.sum((F.col(label_col).cast("double") < 0.5).cast("long")).alias("n_neg"),
+    ).first()
+    n_pos, n_neg = counts_row["n_pos"] or 0, counts_row["n_neg"] or 0
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"nb_classifier_weights needs both classes in train: "
+            f"n_pos={n_pos}, n_neg={n_neg} (label_col={label_col!r}, >= 0.5 is positive)"
+        )
+    s = float(smoothing)
+    ratios = bucket_llr_table(
+        pos, neg, n_buckets=n_buckets, ngram_n=ngram_n, smoothing=smoothing,
+        id_col=id_col, text_col=text_col,
+    )
+    micro = [0] * n_buckets
+    for r in ratios.select("bucket", "llr_micro").collect():
+        micro[int(r["bucket"])] = int(r["llr_micro"])
+    return micro, round(math.log((n_pos + s) / (n_neg + s)), 6)
+
+
+def nb_classifier_projection(
+    docs: DataFrame,
+    micro_weights,
+    log_prior: float,
+    threshold: float = 0.5,
+    ngram_n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SERVING form of the NB quality filter: the collected weights
+    (:func:`nb_classifier_weights`) become an array literal and the score
+    a pure per-row projection — token buckets hashed in-row, micro-unit
+    weights summed by a JVM ``aggregate`` expression, sigmoid'd. Output
+    schema and numbers identical to :func:`nb_quality_classifier` (integer
+    micro-unit sums are order-independent, so in-row summation == the
+    distributed rollup bit-for-bit).
+
+    Being a projection, it has ZERO shuffles, runs at scan speed inside
+    whole-stage codegen, and composes with Structured Streaming in append
+    mode unchanged (the other hygiene projections' contract) — score a
+    live ingest stream with weights trained on yesterday's corpus."""
+    from pilsner_spark.functions.text import md5_long
+
+    n_buckets = len(micro_weights)
+    arr = F.array(*[F.lit(int(m)).cast("bigint") for m in micro_weights])
+    grams = ngram_array(F.col(text_col), ngram_n)
+    micro_sum = F.aggregate(
+        grams,
+        F.lit(0).cast("bigint"),
+        lambda acc, g: acc
+        + F.element_at(arr, F.pmod(md5_long(g), F.lit(n_buckets)).cast("int") + 1),
+    )
+    lw = F.round(micro_sum / 1e6, 6)
+    logit = F.round(lw + F.lit(float(log_prior)), 6)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(grams).cast("bigint").alias("n_grams"),
+        logit.alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("prob"),
+        (F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6) >= threshold).alias("keep"),
     )

@@ -816,3 +816,49 @@ def test_streaming_gopher_rules_match_batch(spark, tmp_path):
     }
     assert got == exp and set(got) == {1, 2, 3}
     assert got[1][1] is True and got[3][1] is False
+
+
+def test_streaming_classifier_projection_matches_batch(spark, tmp_path):
+    """The NB classifier's serving projection is stateless per row, so it
+    composes with Structured Streaming unchanged (append mode): streamed
+    scores pinned row-for-row to the batch operator — train on yesterday's
+    corpus, score the live ingest stream."""
+    from pilsner_spark.operators.text_filters import (
+        nb_classifier_projection,
+        nb_classifier_weights,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "good clean prose text", 1.0),
+            (2, "good curated quality words", 1.0),
+            (3, "spam spam junk junk", 0.0),
+            (4, "junk garbage spam noise", 0.0),
+        ],
+        "doc_id long, text string, label double",
+    )
+    docs = spark.createDataFrame(
+        [(10, "good quality prose"), (11, "spam junk garbage"), (12, "")],
+        "doc_id long, text string",
+    )
+    micro, prior = nb_classifier_weights(train)
+    src = str(tmp_path / "clf_in")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        nb_classifier_projection(stream, micro, prior)
+        .writeStream.format("memory")
+        .queryName("clf_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_grams, r.logit, r.prob, r.keep)
+        for r in spark.sql("select * from clf_stream").collect()
+    }
+    exp = {
+        r.doc_id: (r.n_grams, r.logit, r.prob, r.keep)
+        for r in nb_classifier_projection(docs, micro, prior).collect()
+    }
+    assert got == exp

@@ -422,3 +422,37 @@ def test_importance_weights_empty_target_degrades_to_uniform(spark):
     rows = importance_weights(docs, target=empty, n_buckets=8).collect()
     assert len(rows) == 2
     assert all(r.log_weight is not None for r in rows)
+
+
+def test_nb_classifier_projection_matches_distributed(spark):
+    """The serving projection (collected weights as an array literal,
+    in-row micro-unit sum) must equal nb_quality_classifier row-for-row —
+    integer sums are order-independent, so in-row == distributed rollup."""
+    from pilsner_spark.operators.text_filters import (
+        nb_classifier_projection,
+        nb_classifier_weights,
+        nb_quality_classifier,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "good clean prose text", 1.0),
+            (2, "good curated quality words", 1.0),
+            (3, "spam spam junk junk", 0.0),
+            (4, "junk garbage spam noise", 0.0),
+        ],
+        "doc_id long, text string, label double",
+    )
+    docs = spark.createDataFrame(
+        [(10, "good quality prose"), (11, "spam junk garbage"), (12, "")],
+        "doc_id long, text string",
+    )
+    batch = {r.doc_id: (r.n_grams, r.logit, r.prob, r.keep)
+             for r in nb_quality_classifier(docs, train).collect()}
+    micro, prior = nb_classifier_weights(train)
+    served = {r.doc_id: (r.n_grams, r.logit, r.prob, r.keep)
+              for r in nb_classifier_projection(docs, micro, prior).collect()}
+    assert served == batch
+    # projection plan: zero shuffles, zero Python — streamable by contract
+    plan = nb_classifier_projection(docs, micro, prior)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
