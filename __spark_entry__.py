@@ -1096,6 +1096,27 @@ def q_line_dedup_crossdoc(spark, sf_dir):
     return cross_doc_line_dedup(docs)
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Per-source corpus profile — the report every pipeline run starts
+    with: doc counts, token mass, char-length distribution (mean + EXACT
+    interpolated p50/p90 — one sort-based agg per group, no sampling,
+    so the numbers are decision-grade), language breadth."""
+    docs = _t(spark, sf_dir, "documents")
+    from pilsner_spark.functions.text import token_count
+
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (Sennrich et al. 2016) over the
     documents corpus: one corpus word-count shuffle, then every merge
@@ -1288,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_crossdoc": q_line_dedup_crossdoc,
         "quality_classifier": q_quality_classifier,
         "bpe_merges": q_bpe_merges,
+        "corpus_profile": q_corpus_profile,
         "quality_bigram_lm": q_quality_bigram_lm,
         "chunk_documents": q_chunk_documents,
         "events_asof_join": q_events_asof_join,
@@ -1991,6 +2013,15 @@ def oracle_sql() -> dict[str, str]:
             "sc as (select b.doc_id, count(*) as n_grams, sum(r.llr_micro) as micro from b join ratios r using (bucket) group by b.doc_id) "
             "select doc_id, n_grams, round(micro / 1000000.0, 6) as log_weight from sc "
             "union all select doc_id, 0 as n_grams, 0.0 as log_weight from toks where len(ts) < 1"
+        ),
+        "corpus_profile": (
+            "select source, count(*) as n_docs, "
+            "cast(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) as bigint) as total_tokens, "
+            "round(avg(n_chars), 6) as mean_chars, "
+            "round(quantile_cont(n_chars, 0.5), 6) as p50_chars, "
+            "round(quantile_cont(n_chars, 0.9), 6) as p90_chars, "
+            "count(distinct lang) as n_langs "
+            "from documents group by source"
         ),
         "quality_classifier": (
             "with toks as (select doc_id, source, list_filter(string_split(text, ' '), x -> x != '') as ts from documents), "

@@ -245,6 +245,19 @@ CHECKS = {
             ("no Python nodes", r"EvalPython|MapInPandas"),
         ],
     },
+    # PR-curve threshold sweep: the pair mass collapses into ONE
+    # histogram hash agg (map-side partials); the sweep joins the tiny
+    # broadcast threshold table — nothing re-scans pairs per threshold
+    "er_threshold_sweep": {
+        "want": [
+            ("histogram + confusion rollup are hash aggs", r"HashAggregate"),
+            ("threshold table broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+            ("whole-stage codegen (or AQE runtime-compiled)", r"codegen id|AdaptiveSparkPlan"),
+        ],
+        "avoid": [
+            ("no Python nodes", r"EvalPython|MapInPandas"),
+        ],
+    },
     # NB quality classifier: bucket log-odds broadcast onto the candidate
     # gram stream (importance_weights machinery), the 1-row prior riding a
     # broadcast nested-loop cross join — candidate text crosses only the
