@@ -144,3 +144,55 @@ def test_bpe_learn_accepts_precomputed_counts(spark):
         (r.left, r.right) for r in learn_bpe_merges(docs, n_merges=5).orderBy("rank").collect()
     ]
     assert via_counts == direct
+
+
+def test_bpe_token_count_stream_static_parity(spark, tmp_path):
+    """BPE serving over a stream: the corpus side streams, the
+    segmentation table is STATIC (trained offline) — a stream-static join
+    + per-doc rollup in update mode reproduces the batch counts. The
+    vocabulary-sized Python cost stays on the static side; the stream
+    crosses only JVM operators."""
+    from pilsner_spark.operators.tokenizer import bpe_segment_words, learn_bpe_merges
+    from pyspark.sql import functions as F
+
+    train_docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    merges = [
+        (r.left, r.right)
+        for r in learn_bpe_merges(train_docs, n_merges=10).orderBy("rank").collect()
+    ]
+    docs = spark.createDataFrame(
+        [(1, "low lower newest"), (2, "newest newest")], "doc_id long, text string"
+    )
+    # static side: segment the known vocabulary once, materialize
+    vocab = docs.select(F.explode(F.split("text", " ")).alias("word")).distinct()
+    seg_path = str(tmp_path / "segments")
+    bpe_segment_words(vocab, merges).select("word", "n_segments").write.parquet(seg_path)
+    seg = spark.read.parquet(seg_path)
+
+    src = str(tmp_path / "bpe_in")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    counted = (
+        stream.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .join(seg, "word")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"), F.sum("n_segments").alias("n_bpe_tokens"))
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("bpe_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in spark.sql("select * from bpe_stream").collect()
+    }
+    from pilsner_spark.operators.tokenizer import bpe_token_count
+
+    exp = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in bpe_token_count(docs, merges).collect()}
+    assert got == exp
