@@ -11,6 +11,10 @@ the pipeline a 100 TB pretraining-corpus build actually runs:
    (text_filters.c4_line_filter) BEFORE everything else: survivors
    continue with cleaned text, killed pages enter the drop ledger as
    ``c4_dropped``. Pure projection — adds no shuffle.
+0.5. ``line_dedup`` (optional, ``line_dedup_params``) — corpus-level C4
+   line dedup (text_filters.cross_doc_line_dedup): repeated lines keep
+   only their canonical occurrence; docs stripped to nothing fall to the
+   min_tokens gate downstream (the stage itself never drops documents).
 1. ``doc_stats`` — per-document token/quality/lang/repetition signals
    (functions/text.py + operators/text_filters.repetition_stats): one
    projection plus one (doc_id, gram) hash aggregation.
@@ -36,6 +40,11 @@ the pipeline a 100 TB pretraining-corpus build actually runs:
    DSIR data selection (text_filters.importance_weights +
    select_top_k_by_weight) AFTER filtering: only the k most
    target-domain-like survivors proceed to split/pack.
+4.75. ``bpe_counts`` (optional, ``bpe_merges``) — a BPE tokenizer is
+   TRAINED on the selected corpus (operators/tokenizer.learn_bpe_merges)
+   and per-doc BPE token counts replace whitespace counts as the packing
+   currency; learning + counting checkpoint as one stage, so resume
+   never retrains.
 5. ``packed_<split>`` — token-budget offset packing per split
    (packing.pack_by_budget, bucketed two-level prefix sum — no
    single-partition window).
