@@ -921,7 +921,13 @@ def nb_classifier_projection(
     Being a projection, it has ZERO shuffles, runs at scan speed inside
     whole-stage codegen, and composes with Structured Streaming in append
     mode unchanged (the other hygiene projections' contract) — score a
-    live ingest stream with weights trained on yesterday's corpus."""
+    live ingest stream with weights trained on yesterday's corpus.
+
+    Honest bound: the weights become ONE CreateArray expression, which is
+    fine up to a few thousand buckets but bloats codegen beyond that —
+    for very wide feature spaces (>= ~10^4 buckets) use the distributed
+    form (:func:`nb_quality_classifier`), whose weight table broadcasts
+    as data, not as an expression tree."""
     from pilsner_spark.functions.text import md5_long
 
     n_buckets = len(micro_weights)
