@@ -393,13 +393,14 @@ def gopher_quality_rules(
 
 
 def bucket_llr_table(
-    target: DataFrame,
-    raw: DataFrame,
+    target: DataFrame = None,
+    raw: DataFrame = None,
     n_buckets: int = 64,
     ngram_n: int = 1,
     smoothing: float = 1.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    counts: DataFrame = None,
 ) -> DataFrame:
     """The hashed-n-gram log-likelihood-ratio table shared by DSIR
     importance weighting and the NB quality classifier: per feature
@@ -408,22 +409,40 @@ def bucket_llr_table(
     order-independent engine-exact rollups. O(n_buckets) rows — always
     broadcastable. An EMPTY distribution coalesces its total to 0, so the
     add-k estimate degrades to uniform — weights stay finite, never
-    silently null."""
+    silently null.
+
+    Pass ``counts`` — a precomputed (bucket, ct, cr) table — to skip the
+    two distribution scans entirely (the classifier builds it in ONE
+    labeled pass over its train set; target/raw are then unused)."""
     from pilsner_spark.functions.text import md5_long
 
-    def grams(d):
-        return doc_ngrams(d, ngram_n, id_col, text_col).select(
-            F.pmod(md5_long(F.col("gram")), F.lit(n_buckets)).alias("bucket")
-        )
+    if counts is not None:
+        counts = counts.localCheckpoint()
+        t_counts = counts.select("bucket", "ct")
+        r_counts = counts.select("bucket", "cr")
+        session = counts.sparkSession
+    else:
 
-    def dist(d, cname):
-        return grams(d).groupBy("bucket").agg(F.count(F.lit(1)).alias(cname))
+        def grams(d):
+            return doc_ngrams(d, ngram_n, id_col, text_col).select(
+                F.pmod(md5_long(F.col("gram")), F.lit(n_buckets)).alias("bucket")
+            )
 
-    t_counts = dist(target, "ct")
-    r_counts = dist(raw, "cr")
+        def dist(d, cname):
+            return grams(d).groupBy("bucket").agg(F.count(F.lit(1)).alias(cname))
+
+        # materialize the two O(n_buckets) count tables: the ratios plan
+        # references each TWICE (per-bucket counts + the totals cross
+        # join), and without the checkpoint every reference re-scans the
+        # corpus-scale gram stream — 4 corpus scans where 2 suffice (same
+        # recompute trap as salt_oversized_blocks; the checkpointed
+        # tables are bytes)
+        t_counts = dist(target, "ct").localCheckpoint()
+        r_counts = dist(raw, "cr").localCheckpoint()
+        session = target.sparkSession
     # cover all buckets (a candidate gram may hash to a bucket unseen in
     # either distribution — smoothing still defines its ratio)
-    all_buckets = target.sparkSession.range(n_buckets).select(
+    all_buckets = session.range(n_buckets).select(
         F.col("id").cast("bigint").alias("bucket")
     )
     s = float(smoothing)
@@ -454,13 +473,14 @@ def bucket_llr_table(
 
 def importance_weights(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame = None,
     raw: DataFrame = None,
     n_buckets: int = 64,
     ngram_n: int = 1,
     smoothing: float = 1.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    counts: DataFrame = None,
 ) -> DataFrame:
     """DSIR-style data selection with importance resampling (Xie et al.
     2023): score every candidate document by how much more likely its
@@ -487,13 +507,13 @@ def importance_weights(
     Per-gram log-ratios are rounded to 6 dp and summed in integer
     micro-units so the rollup is order-independent and byte-identical
     across engines (float sums are not associative)."""
-    if raw is None:
+    if raw is None and counts is None:
         raw = docs
     from pilsner_spark.functions.text import md5_long
 
     ratios = bucket_llr_table(
         target, raw, n_buckets=n_buckets, ngram_n=ngram_n, smoothing=smoothing,
-        id_col=id_col, text_col=text_col,
+        id_col=id_col, text_col=text_col, counts=counts,
     )
     doc_grams = doc_ngrams(docs, ngram_n, id_col, text_col).select(
         "doc_id", F.pmod(md5_long(F.col("gram")), F.lit(n_buckets)).alias("bucket")
@@ -790,6 +810,33 @@ def cross_doc_line_dedup(
     )
 
 
+
+def _labeled_bucket_counts(
+    train: DataFrame,
+    n_buckets: int,
+    ngram_n: int,
+    label_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(bucket, ct, cr) — BOTH class distributions counted in ONE scan of
+    the labeled train set (conditional sums), instead of one scan per
+    class. Shared by the classifier's distributed and serving paths."""
+    from pilsner_spark.functions.text import md5_long
+
+    ex = train.select(
+        (F.col(label_col).cast("double") >= 0.5).alias("pos"),
+        F.explode(ngram_array(F.col(text_col), ngram_n)).alias("gram"),
+    )
+    return (
+        ex.select(F.pmod(md5_long(F.col("gram")), F.lit(n_buckets)).alias("bucket"), "pos")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("pos").cast("long")).alias("ct"),
+            F.sum((~F.col("pos")).cast("long")).alias("cr"),
+        )
+    )
+
+
 def nb_quality_classifier(
     docs: DataFrame,
     train: DataFrame,
@@ -821,15 +868,14 @@ def nb_quality_classifier(
     keep = prob >= ``threshold``. Gram-less documents score the prior
     alone. Both classes must be non-empty.
 
-    Physical shape: class distributions aggregate to ``n_buckets`` rows
-    and broadcast (importance_weights); the prior is a 1-row aggregate
-    cross-joined in — no count() job, no collected vocabulary; candidate
-    text crosses only the per-doc rollup exchange."""
-    pos = train.filter(F.col(label_col).cast("double") >= 0.5).select(id_col, text_col)
-    neg = train.filter(F.col(label_col).cast("double") < 0.5).select(id_col, text_col)
+    Physical shape: BOTH class distributions are counted in ONE scan of
+    the labeled train set (conditional sums — not one filtered scan per
+    class), aggregate to ``n_buckets`` rows and broadcast; no collected
+    vocabulary; candidate text crosses only the per-doc rollup exchange."""
     scored = importance_weights(
-        docs, target=pos, raw=neg, n_buckets=n_buckets, ngram_n=ngram_n,
+        docs, n_buckets=n_buckets, ngram_n=ngram_n,
         smoothing=smoothing, id_col=id_col, text_col=text_col,
+        counts=_labeled_bucket_counts(train, n_buckets, ngram_n, label_col, text_col),
     )
     s = float(smoothing)
     # the prior is one tiny aggregate over the labeled train set — collect
@@ -878,8 +924,6 @@ def nb_classifier_weights(
     Training stays distributed (two hash aggs via
     :func:`bucket_llr_table`); only the O(n_buckets) result is collected.
     Fails loudly on an empty class, like :func:`nb_quality_classifier`."""
-    pos = train.filter(F.col(label_col).cast("double") >= 0.5).select(id_col, text_col)
-    neg = train.filter(F.col(label_col).cast("double") < 0.5).select(id_col, text_col)
     counts_row = train.agg(
         F.sum((F.col(label_col).cast("double") >= 0.5).cast("long")).alias("n_pos"),
         F.sum((F.col(label_col).cast("double") < 0.5).cast("long")).alias("n_neg"),
@@ -892,8 +936,9 @@ def nb_classifier_weights(
         )
     s = float(smoothing)
     ratios = bucket_llr_table(
-        pos, neg, n_buckets=n_buckets, ngram_n=ngram_n, smoothing=smoothing,
+        n_buckets=n_buckets, ngram_n=ngram_n, smoothing=smoothing,
         id_col=id_col, text_col=text_col,
+        counts=_labeled_bucket_counts(train, n_buckets, ngram_n, label_col, text_col),
     )
     micro = [0] * n_buckets
     for r in ratios.select("bucket", "llr_micro").collect():
