@@ -259,13 +259,14 @@ CHECKS = {
         ],
     },
     # NB quality classifier: bucket log-odds broadcast onto the candidate
-    # gram stream (importance_weights machinery), the 1-row prior riding a
-    # broadcast nested-loop cross join — candidate text crosses only the
-    # per-doc rollup, nothing in Python
+    # gram stream (importance_weights machinery; the class prior folds in
+    # as a literal at plan time) — the only nested-loop join is the 1-row
+    # bucket-TOTALS cross join inside the LLR table; candidate text
+    # crosses only the per-doc rollup, nothing in Python
     "quality_classifier": {
         "want": [
             ("bucket log-odds table broadcast", r"BroadcastHashJoin"),
-            ("1-row class prior broadcast cross-joined", r"BroadcastNestedLoopJoin"),
+            ("1-row bucket totals broadcast cross-joined", r"BroadcastNestedLoopJoin"),
             ("partial aggregation before the doc rollup", r"HashAggregate"),
             ("whole-stage codegen (or AQE runtime-compiled)", r"codegen id|AdaptiveSparkPlan"),
         ],
