@@ -1236,6 +1236,25 @@ def q_events_sessionization(spark, sf_dir):
     )
 
 
+def q_events_hopping_window(spark, sf_dir):
+    """Hopping (sliding) window aggregation — F.window(ts, 1h, 30m), the
+    Structured Streaming windowing construct run in batch: every event
+    lands in exactly two overlapping hour windows; counts/sums per
+    (window_start, event_type). Oracle derives each event's two window
+    starts arithmetically (floor-to-slide and one slide earlier)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def q_events_tumbling_window(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1322,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_customers": q_setops_customers,
         "events_sessionization": q_events_sessionization,
         "events_tumbling_window": q_events_tumbling_window,
+        "events_hopping_window": q_events_hopping_window,
     }
 
 
@@ -2201,5 +2221,12 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_window": (
             "select cast(epoch(date_trunc('hour', ts)) as bigint) as window_start, event_type, count(*) as n, round(sum(value), 2) as sum_value "
             "from events group by 1, 2"
+        ),
+        "events_hopping_window": (
+            "with off as (select unnest([0, 1800]) as o), "
+            "w as (select cast(cast(floor(epoch(ts) / 1800) as bigint) * 1800 - o as bigint) as window_start, event_type, value "
+            "  from events, off) "
+            "select window_start, event_type, count(*) as n, round(sum(value), 2) as sum_value "
+            "from w group by 1, 2"
         ),
     }
