@@ -1267,57 +1267,21 @@ def q_events_tumbling_window(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so the driver's ~50-entry correctness window covers the
+    entries that most need a fresh verdict (VERDICT r4 item 1):
+
+    - first the 24 operators appended in round 4 that fell PAST the window
+      in CORRECTNESS_r04.json and have never had a driver verdict;
+    - then ``substring_dedup`` (r4 hash-fail; oracle rewritten portable);
+    - then 25 high-value previously-green entries (flagship ER, one
+      representative per dedup/ANN/blocking/text family) so regressions in
+      the core surface stay driver-visible.
+
+    The 24 entries behind the window all carry a green CORRECTNESS_r04 row
+    and remain locally verifiable via ``tools/selfcheck.py`` (full-surface
+    replica committed per-round under BENCH/)."""
     return {
-        "b3_projection_filter": q_b3_projection_filter,
-        "b4_dense_internal_ids": q_b4_dense_internal_ids,
-        "b6_list_explode_distinct": q_b6_list_explode_distinct,
-        "b7_attribute_melt": q_b7_attribute_melt,
-        "b12_keyword_collisions": q_b12_keyword_collisions,
-        "b13_distributed_compile": q_b13_distributed_compile,
-        "b14_compiled_model_tables": q_b14_compiled_model_tables,
-        "b5_normalization": q_b5_normalization,
-        "b17_label_delete": q_b17_label_delete,
-        "b18_stoplist_scan": q_b18_stoplist_scan,
-        "q2_semi_anti_filter": q_q2_semi_anti_filter,
-        "q4_mention_scan": q_q4_mention_scan,
-        "q4_sharded_mention_scan": q_q4_sharded_mention_scan,
-        "q6_attr_fetch": q_q6_attr_fetch,
-        "q7_attr_admission": q_q7_attr_admission,
-        "q9_argmax_ties": q_q9_argmax_ties,
-        "q10_span_postprocess": q_q10_span_postprocess,
-        "er_mentions": q_er_mentions,
-        "er_clusters": q_er_clusters,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_bands": q_dedup_minhash_bands,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "dedup_minhash_groups": q_dedup_minhash_groups,
-        "dedup_minhash_oversized": q_dedup_minhash_oversized,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_embedding_ivf": q_dedup_embedding_ivf,
-        "meta_blocking_prune": q_meta_blocking_prune,
-        "blocking_sorted_neighborhood": q_blocking_sorted_neighborhood,
-        "ann_brute_topk": q_ann_brute_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
-        "ann_ivf_pq_refined": q_ann_ivf_pq_refined,
-        "text_tfidf": q_text_tfidf,
-        "sample_stratified": q_sample_stratified,
-        "split_assign": q_split_assign,
-        "pack_token_budget": q_pack_token_budget,
-        "mix_domains": q_mix_domains,
-        "text_stats": q_text_stats,
-        "text_quality_langid": q_text_quality_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "dedup_incremental": q_dedup_incremental,
-        "substring_dedup": q_substring_dedup,
-        "decontaminate_ngrams": q_decontaminate_ngrams,
-        "quality_repetition": q_quality_repetition,
-        "quality_gopher_rules": q_quality_gopher_rules,
-        "pii_redaction": q_pii_redaction,
+        # --- never driver-checked (appended in r4 past the 50-entry cap) ---
         "dedup_semantic": q_dedup_semantic,
         "decontaminate_embedding": q_decontaminate_embedding,
         "c4_line_filter": q_c4_line_filter,
@@ -1342,6 +1306,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": q_events_sessionization,
         "events_tumbling_window": q_events_tumbling_window,
         "events_hopping_window": q_events_hopping_window,
+        # --- r4 driver hash-fail; oracle rewritten engine-portable ---
+        "substring_dedup": q_substring_dedup,
+        # --- previously green, kept inside the window (core surface) ---
+        "er_mentions": q_er_mentions,
+        "er_clusters": q_er_clusters,
+        "q4_mention_scan": q_q4_mention_scan,
+        "b13_distributed_compile": q_b13_distributed_compile,
+        "b14_compiled_model_tables": q_b14_compiled_model_tables,
+        "b5_normalization": q_b5_normalization,
+        "q2_semi_anti_filter": q_q2_semi_anti_filter,
+        "q9_argmax_ties": q_q9_argmax_ties,
+        "q10_span_postprocess": q_q10_span_postprocess,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_minhash_groups": q_dedup_minhash_groups,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_ivf": q_dedup_embedding_ivf,
+        "dedup_incremental": q_dedup_incremental,
+        "meta_blocking_prune": q_meta_blocking_prune,
+        "blocking_sorted_neighborhood": q_blocking_sorted_neighborhood,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_ivf_pq_refined": q_ann_ivf_pq_refined,
+        "text_tfidf": q_text_tfidf,
+        "decontaminate_ngrams": q_decontaminate_ngrams,
+        "quality_gopher_rules": q_quality_gopher_rules,
+        "pii_redaction": q_pii_redaction,
+        "pack_token_budget": q_pack_token_budget,
+        # --- behind the ~50-entry window: green in CORRECTNESS_r04, still
+        # --- selfcheck-verified every round ---
+        "b3_projection_filter": q_b3_projection_filter,
+        "b4_dense_internal_ids": q_b4_dense_internal_ids,
+        "b6_list_explode_distinct": q_b6_list_explode_distinct,
+        "b7_attribute_melt": q_b7_attribute_melt,
+        "b12_keyword_collisions": q_b12_keyword_collisions,
+        "b17_label_delete": q_b17_label_delete,
+        "b18_stoplist_scan": q_b18_stoplist_scan,
+        "q4_sharded_mention_scan": q_q4_sharded_mention_scan,
+        "q6_attr_fetch": q_q6_attr_fetch,
+        "q7_attr_admission": q_q7_attr_admission,
+        "dedup_minhash_bands": q_dedup_minhash_bands,
+        "dedup_minhash_oversized": q_dedup_minhash_oversized,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
+        "sample_stratified": q_sample_stratified,
+        "split_assign": q_split_assign,
+        "mix_domains": q_mix_domains,
+        "text_stats": q_text_stats,
+        "text_quality_langid": q_text_quality_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "quality_repetition": q_quality_repetition,
     }
 
 
@@ -1902,10 +1920,15 @@ def oracle_sql() -> dict[str, str]:
             "union all select doc_id, matched_id, 'near_dup' as reason from nr"
         ),
         "substring_dedup": (
+            # parallel-expression unnest (two equal-length scalar lists zip
+            # positionally) — the struct-list-comprehension form this
+            # replaces hash-failed on the driver's DuckDB build while
+            # passing locally (VERDICT r4 "What's wrong" item 1)
             "with toks as (select doc_id, list_filter(string_split(text, ' '), x -> x != '') as ts from documents), "
-            "w0 as (select doc_id, unnest([{'pos': i, 'wh': md5(array_to_string(ts[i:i+4], ' '))} "
-            "  for i in generate_series(1, len(ts)-4)]) as s from toks where len(ts) >= 5), "
-            "wins as (select doc_id, s.pos as pos, s.wh as wh from w0), "
+            "wins as (select doc_id, "
+            "  unnest([i for i in generate_series(1, len(ts)-4)]) as pos, "
+            "  unnest([md5(array_to_string(ts[i:i+4], ' ')) for i in generate_series(1, len(ts)-4)]) as wh "
+            "  from toks where len(ts) >= 5), "
             "dup as (select wh, min(doc_id) as canon_doc from wins group by wh having count(distinct doc_id) > 1), "
             "covered as (select w.doc_id, list_sort(list(distinct w.pos)) as starts "
             "  from wins w join dup d using (wh) where w.doc_id != d.canon_doc group by w.doc_id), "

@@ -202,7 +202,13 @@ def main() -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    report = {
+    # The driver captures only a ~2000-char stdout TAIL; round 4's single
+    # JSON line outgrew it and the round lost all parsed bench evidence
+    # (BENCH_r04.json parsed: null). Contract now: stdout gets ONE COMPACT
+    # line (queries rounded to 2 decimals, no per-rep walls / recall /
+    # telemetry), and the full report goes to BENCH/FULL_latest.json.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "FULL_latest.json")
+    full_report = {
         "metric": "headline_total_seconds",
         "value": total,
         "unit": "sec",
@@ -219,7 +225,27 @@ def main() -> None:
         "host": telemetry_delta(host_before, read_proc_stat()),
         "er_host": er_telemetry,
     }
-    print(json.dumps(report))
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as f:
+        json.dump(full_report, f, indent=1)
+    compact = {
+        "metric": "headline_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "er_pairs_scored": int(n_pairs),
+        "er_pairs_per_second": round(n_pairs / er_wall, 1),
+        "er_f1": f1["f1"],
+        "full_report": "BENCH/FULL_latest.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1500:  # hard bound BEFORE printing — never regress the tail window again
+        compact["queries"] = {"total_only": total}
+        compact["queries_dropped_for_size"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

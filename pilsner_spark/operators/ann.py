@@ -495,7 +495,20 @@ def ivf_pq_topk(
     table's vector column when it differs from ``vec_col`` (the serving
     shape reads queries through ``vec_col``, so a renamed query column
     must not leak into the corpus-side refine read). ``cosine`` in the
-    refined output is exact."""
+    refined output is exact.
+
+    HARD CONTRACT when ``refine_vectors`` carries a ``cell`` column: its
+    cell assignment MUST be the one this index was built with (same
+    centroids — e.g. a table written from ``ivf_assign`` with the same
+    ``centroids`` argument). The exact re-rank joins the shortlist on
+    (cell, neighbor_id) to keep partition pruning; a disagreeing
+    assignment (index built with trained centroids, refine table written
+    under sample-centroid assignment) would make shortlist candidates
+    vanish from the join. This function DETECTS that and raises
+    ``ValueError`` instead of silently degrading recall (ADVICE r4): the
+    refine join is materialized (localCheckpoint — shortlist-sized, tiny)
+    and its row count compared against the shortlist. A cell-less refine
+    table joins on neighbor_id alone (no pruning, no contract)."""
     if centroids is None:
         centroids = sample_centroids(vectors, n_cells, id_col, vec_col)
     centroids = centroids.localCheckpoint()  # reused by assignment + probing
@@ -561,7 +574,7 @@ def ivf_pq_topk(
             scored.withColumn("arank", F.row_number().over(w))
             .filter(F.col("arank") <= k * refine_factor)
             .select("query_id", "neighbor_id", "cell")
-        )
+        ).localCheckpoint()  # one PQ pass; reused by the join AND the coverage check
         rv_col = refine_vec_col or vec_col
         cols = [F.col(id_col).alias("neighbor_id"), F.col(rv_col).cast("array<double>").alias("n_vec")]
         join_keys = ["neighbor_id"]
@@ -575,7 +588,21 @@ def ivf_pq_topk(
             .join(F.broadcast(shortlist), join_keys)
             .join(F.broadcast(q), "query_id")
             .withColumn("cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("n_vec")), 6))
-        )
+        ).localCheckpoint()  # shortlist-sized; makes the dropped-candidate check free
+        n_short, n_joined = shortlist.count(), exact.count()
+        if n_joined < n_short:
+            detail = (
+                "the refine table's cell assignment disagrees with this index's "
+                "(the (cell, neighbor_id) join found no partition match) — refine_vectors "
+                "must be written under the SAME centroids as the index, or passed without "
+                "a cell column to join on neighbor_id alone"
+                if "cell" in rv.columns
+                else "the refine table is missing vector ids present in the index"
+            )
+            raise ValueError(
+                f"ivf_pq_topk refine: {n_short - n_joined} of {n_short} shortlist "
+                f"candidates have no full-width row in refine_vectors: {detail}"
+            )
         return (
             exact.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

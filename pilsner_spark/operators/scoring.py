@@ -372,10 +372,19 @@ def threshold_sweep(
     every threshold, from ONE pass over the pair mass.
 
     A pair is predicted positive at threshold t when score >= t; truth is
-    ``label_col`` >= 0.5. Returns one row per threshold:
+    ``label_col`` >= 0.5. Returns EXACTLY one row per threshold — including
+    on an empty pair table, where every confusion count is 0 and the
+    0-denominator conventions apply — as
     (threshold, tp, fp, fn, tn, precision, recall, f1), metrics rounded to
     6 dp (0-denominator conventions: precision/recall are 1.0 with no
     predicted/actual positives, matching evaluate_f1).
+
+    Pairs with a NULL score or NULL label are EXCLUDED from all four
+    confusion counts (they are filtered explicitly before the histogram,
+    not silently nulled out of the sums): an unscored or unlabeled pair has
+    no defined position on a PR curve. Callers needing the exclusion count
+    should difference ``pairs.count()`` against ``tp+fp+fn+tn`` at any one
+    threshold.
 
     Physical shape — the part that matters at 10^12 pairs: the pair table
     is aggregated ONCE into an O(distinct rounded scores) histogram
@@ -393,7 +402,8 @@ def threshold_sweep(
         [(float(t),) for t in thresholds], "threshold double"
     )
     hist = (
-        pairs.select(
+        pairs.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
             F.round(F.col(score_col), score_decimals).alias("s"),
             (F.col(label_col).cast("double") >= 0.5).alias("pos"),
         )
@@ -410,6 +420,13 @@ def threshold_sweep(
             F.sum(F.when((F.col("s") < F.col("threshold")) & F.col("pos"), F.col("n")).otherwise(F.lit(0))).alias("fn"),
             F.sum(F.when((F.col("s") < F.col("threshold")) & ~F.col("pos"), F.col("n")).otherwise(F.lit(0))).alias("tn"),
         )
+    )
+    # an empty histogram (empty input, or all-null scores/labels) must still
+    # yield one all-zero row per threshold, not zero rows: re-anchor on the
+    # threshold table (both sides are O(len(thresholds)) here — trivial join)
+    conf = t_df.join(conf, "threshold", "left").select(
+        "threshold",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("tp", "fp", "fn", "tn")],
     )
     prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(1.0)).otherwise(
         F.col("tp") / (F.col("tp") + F.col("fp"))

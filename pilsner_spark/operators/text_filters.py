@@ -760,6 +760,11 @@ def cross_doc_line_dedup(
     cleaned_text), cleaned_text = surviving lines rejoined by a newline.
     Dropped-to-empty documents stay visible (no silent truncation).
 
+    ``line_sep`` is a LITERAL separator string (quoted before it reaches
+    Java's regex engine), so '.', '|' or '\\r\\n' split exactly as typed —
+    unlike ``c4_line_filter``, whose line_sep is documented as a Java
+    regex for pattern callers.
+
     Physical shape: lines explode to (doc_id, idx, line-md5) — text
     itself never leaves its doc row twice — then (1) ONE hash agg by line
     hash (map-side partials collapse hot boilerplate lines per partition,
@@ -770,8 +775,11 @@ def cross_doc_line_dedup(
     splits it; enable spark.sql.adaptive.skewJoin at scale); (3) one
     groupBy(doc_id) rollup of dropped indices rejoins the doc table.
     Everything JVM-side, no UDFs."""
+    # \Q...\E literal-quotes the separator for Java's regex engine
+    # (java.util.regex.Pattern.quote semantics, embedded \E handled)
+    sep_literal = "\\Q" + line_sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines_arr = F.filter(
-        F.transform(F.split(F.col(text_col), line_sep), lambda l: F.trim(l)),
+        F.transform(F.split(F.col(text_col), sep_literal), lambda l: F.trim(l)),
         lambda l: l != "",
     )
     base = docs.select(F.col(id_col).alias("doc_id"), lines_arr.alias("ls"))

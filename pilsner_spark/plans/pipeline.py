@@ -397,6 +397,17 @@ def evaluate_f1(scored: DataFrame, clusters: DataFrame, truth: DataFrame) -> Dic
 
     def report(tp, fp, fn, pairs) -> Dict[str, object]:
         tp, fp, fn = tp or 0, fp or 0, fn or 0
+        pairs = int(pairs or 0)
+        # An EMPTY slice must not read as a perfect score: earlier rounds
+        # emitted f1=1.0 for unplanted hard slices and LADDER.md readers
+        # concluded the slice passed at every rung (VERDICT r4 "What's
+        # wrong" item 3). Zero labeled pairs -> metrics are n/a, flagged.
+        if pairs == 0:
+            return {
+                "tp": 0, "fp": 0, "fn": 0, "labeled_pairs": 0,
+                "precision": None, "recall": None, "f1": None,
+                "planted": False,
+            }
         precision = tp / (tp + fp) if tp + fp else 1.0
         recall = tp / (tp + fn) if tp + fn else 1.0
         f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
@@ -404,7 +415,7 @@ def evaluate_f1(scored: DataFrame, clusters: DataFrame, truth: DataFrame) -> Dic
             "tp": int(tp),
             "fp": int(fp),
             "fn": int(fn),
-            "labeled_pairs": int(pairs or 0),
+            "labeled_pairs": pairs,
             "precision": round(precision, 6),
             "recall": round(recall, 6),
             "f1": round(f1, 6),

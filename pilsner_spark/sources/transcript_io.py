@@ -13,10 +13,15 @@ Physical shape: `spark.read.json` / `.csv` with an EXPLICIT schema
 (never inferSchema — schema inference is a full extra pass over 100 TB)
 in PERMISSIVE mode with `columnNameOfCorruptRecord`: malformed lines
 land in the corrupt column instead of killing the job (DROPMALFORMED
-hides them; FAILFAST dies at scale on one bad shard). Valid and corrupt
-rows split from ONE scan — Spark caches the parse per record, so the
-ledger costs no second read of the payload. Everything is a projection:
-zero shuffles, zero UDFs.
+hides them; FAILFAST dies at scale on one bad shard). The returned
+(valid, ledger) pair are two independent LAZY frames over the same
+scan+parse plan: an action on each re-reads and re-parses the shards
+(PERMISSIVE parse results are NOT cached across actions), so consuming
+both costs TWO passes. At ingestion scale, materialize once and derive
+both from the written table — write `valid` (plus the corrupt column)
+to parquet in the same job, or checkpoint the parsed frame — rather
+than caching 100 TB of parse output in executor memory. Each frame by
+itself is a pure projection: zero shuffles, zero UDFs.
 
 Reference anchor: pgolo/pilsner ingests delimited dictionary files
 (utility.py:66-121, its only reader); transcripts are the north-rule
@@ -78,7 +83,8 @@ def read_jsonl_transcripts(
 ) -> Tuple[DataFrame, DataFrame]:
     """Read JSONL transcript shards under ``path``. Returns
     (transcripts, ledger): transcripts in the north-rule schema, ledger =
-    (raw_line, reason) for every rejected line. One scan feeds both."""
+    (raw_line, reason) for every rejected line. Both are lazy views of the
+    same parse plan — see the module docstring for the two-pass caveat."""
     reader = (
         spark.read.schema(_with_corrupt(TRANSCRIPT_SCHEMA))
         .option("mode", "PERMISSIVE")

@@ -645,6 +645,37 @@ def test_ann_ivf_pq_refine_recovers_exact_ranks(spark, vectors, tmp_path):
     assert via_table == truth
 
 
+def test_ann_ivf_pq_refine_cell_mismatch_fails_loudly(spark, vectors, tmp_path):
+    """ADVICE r4: a refine table whose cell assignment disagrees with the
+    index's must raise (dropped shortlist candidates detected), never
+    silently degrade recall. A shifted-cell copy of the same vectors
+    guarantees every (cell, neighbor_id) join key misses."""
+    import pytest
+
+    from pilsner_spark.operators.ann import ivf_assign, ivf_pq_topk, sample_centroids
+
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = sample_centroids(vectors, 8)
+    bad = (
+        vectors.join(ivf_assign(vectors, centroids=cents), "vec_id")
+        .withColumn("cell", (F.col("cell") + 1) % 8)
+    )
+    with pytest.raises(ValueError, match="cell assignment disagrees"):
+        ivf_pq_topk(
+            vectors, queries, k=4, m=2, n_codes=16, n_cells=8, n_probe=8,
+            centroids=cents, refine_factor=10, refine_vectors=bad,
+        )
+    # a refine table missing ids raises the id-flavored error
+    sparse = vectors.filter(F.col("vec_id") % 2 == 0)
+    with pytest.raises(ValueError, match="missing vector ids"):
+        ivf_pq_topk(
+            vectors, queries, k=4, m=2, n_codes=16, n_cells=8, n_probe=8,
+            centroids=cents, refine_factor=10, refine_vectors=sparse,
+        )
+
+
 def test_ann_ivf_pq_persisted_index_never_reads_vectors(spark, vectors, tmp_path):
     """The 100 TB serving shape: pq_index persisted partitioned by cell,
     then queried with vectors=None — proving query-time work reads ONLY the
@@ -857,6 +888,30 @@ def test_threshold_sweep_confusion_and_conventions(spark):
     only_neg = spark.createDataFrame([(0.1, 0.0)], "score double, label double")
     r2 = threshold_sweep(only_neg, [0.5]).collect()[0]
     assert (r2.precision, r2.recall, r2.f1) == (1.0, 1.0, 1.0)
+
+def test_threshold_sweep_nulls_and_empty_input(spark):
+    """ADVICE r4: null-score / null-label pairs are excluded EXPLICITLY
+    (counts identical to a table without them), and an empty pair table
+    still emits one all-zero row per threshold with the 0-denominator
+    conventions — never zero rows."""
+    from pilsner_spark.operators.scoring import threshold_sweep
+
+    with_nulls = spark.createDataFrame(
+        [(0.9, 1.0), (0.2, 0.0), (None, 1.0), (0.7, None), (None, None)],
+        "score double, label double",
+    )
+    clean = spark.createDataFrame([(0.9, 1.0), (0.2, 0.0)], "score double, label double")
+    got = {r.threshold: r for r in threshold_sweep(with_nulls, [0.5]).collect()}
+    want = {r.threshold: r for r in threshold_sweep(clean, [0.5]).collect()}
+    assert got == want
+    assert (got[0.5].tp, got[0.5].fp, got[0.5].fn, got[0.5].tn) == (1, 0, 0, 1)
+
+    empty = clean.filter(F.lit(False))
+    rows = {r.threshold: r for r in threshold_sweep(empty, [0.1, 0.9]).collect()}
+    assert set(rows) == {0.1, 0.9}
+    for r in rows.values():
+        assert (r.tp, r.fp, r.fn, r.tn) == (0, 0, 0, 0)
+        assert (r.precision, r.recall, r.f1) == (1.0, 1.0, 1.0)
 
 def test_ann_pq_trained_codebooks_reduce_quantization_error(spark, vectors):
     """k-means-trained PQ codebooks: same (m, code, c_sub) schema as the

@@ -302,6 +302,12 @@ def test_er_pipeline_f1_gate(spark, transcripts, tmp_path):
     assert scores["f1"] >= 0.99, scores
     # the hard negative must be present: cross-entity pairs in same blocks
     assert scores["tp"] > 0 and scores["labeled_pairs"] > scores["tp"]
+    # this corpus plants NO hard slice — an empty slice must report n/a,
+    # never a vacuous 1.0 (VERDICT r4 "What's wrong" item 3)
+    if "hard_slice" in scores:
+        hs = scores["hard_slice"]
+        assert hs["labeled_pairs"] == 0
+        assert hs["f1"] is None and hs["precision"] is None and hs["planted"] is False, hs
 
     # blocking recall audit (VERDICT r2 item 4): fn=0 above is conditional
     # on a pair having been blocked together — this measures that condition.

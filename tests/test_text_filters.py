@@ -365,6 +365,25 @@ def test_cross_doc_line_dedup_keeps_canonical_only(spark):
     assert spared[2].cleaned_text == "unique two"  # 3 occurrences still dedup
 
 
+def test_cross_doc_line_dedup_line_sep_is_literal(spark):
+    """ADVICE r4: line_sep must split LITERALLY — a '.' or '|' separator
+    previously hit Java-regex semantics ('.' matched everything, exploding
+    each doc into empty lines)."""
+    from pilsner_spark.operators.text_filters import cross_doc_line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "repeat.unique a"), (2, "repeat.unique b")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in cross_doc_line_dedup(docs, line_sep=".").collect()}
+    assert (got[1].n_lines, got[1].cleaned_text) == (2, "repeat\nunique a")
+    assert (got[2].n_lines, got[2].cleaned_text) == (2, "unique b")
+
+    piped = spark.createDataFrame([(1, "x|y"), (2, "x|z")], "doc_id long, text string")
+    got = {r.doc_id: r for r in cross_doc_line_dedup(piped, line_sep="|").collect()}
+    assert got[2].cleaned_text == "z"
+
+
 def test_nb_quality_classifier_separates_and_scores_prior(spark):
     """NB classifier: clearly-separable vocabularies classify correctly;
     a gram-less document scores the class prior alone; probabilities are
