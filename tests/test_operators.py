@@ -134,6 +134,57 @@ def test_text_functions_edge_cases(spark):
     assert all(0.0 <= r.q <= 1.0 for r in out)
 
 
+def test_bench_compact_line_stays_under_tail_window():
+    """BENCH_r04 was lost to the driver's ~2000-char stdout tail; the
+    compact-line builder must stay <=1500 chars for the real headline set
+    and degrade explicitly (not silently) for absurdly wide query sets."""
+    import json
+
+    import bench as benchmod
+
+    full = {
+        "metric": "headline_total_seconds", "value": 123.456, "unit": "sec",
+        "queries": {name: 12.345 for name in benchmod.HEADLINE + ["er_pipeline"]},
+        "sf": 0.1, "cpus": 32, "er_pairs_scored": 5777088,
+        "er_pairs_per_second": 505333.1, "er_f1": 1.0,
+    }
+    line = benchmod.build_compact_line(full)
+    assert len(line) <= 1500, len(line)
+    parsed = json.loads(line)
+    assert parsed["er_f1"] == 1.0 and "er_pipeline" in parsed["queries"]
+
+    wide = dict(full, queries={f"query_with_a_very_long_name_{i}": 1.0 for i in range(200)})
+    line2 = benchmod.build_compact_line(wide)
+    assert len(line2) <= 1500
+    assert json.loads(line2)["queries_dropped_for_size"] is True
+
+
+def test_corpus_profile_approx_matches_exact(spark):
+    """corpus_profile: approx=True (the default 100 TB path —
+    approx_percentile sketch, bounded group memory) must agree with the
+    exact sort-based percentiles within the sketch's rank-error bound;
+    all non-percentile columns must be identical."""
+    from pilsner_spark.functions.text import corpus_profile
+
+    rows = [
+        (i, f"s{i % 3}", "word " * (1 + i % 40), float(10 + (i * 37) % 500), "en" if i % 2 else "other")
+        for i in range(600)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string, n_chars double, lang string")
+    exact = {r.source: r for r in corpus_profile(docs, approx=False).collect()}
+    approx = {r.source: r for r in corpus_profile(docs, approx=True).collect()}
+    assert set(exact) == set(approx) == {"s0", "s1", "s2"}
+    for src in exact:
+        e, a = exact[src], approx[src]
+        assert (a.n_docs, a.total_tokens, a.mean_chars, a.n_langs) == (
+            e.n_docs, e.total_tokens, e.mean_chars, e.n_langs,
+        )
+        # approx_percentile returns an actual data value; exact percentile
+        # interpolates — allow one rank's worth of drift in value terms
+        for col in ("p50_chars", "p90_chars"):
+            assert abs(getattr(a, col) - getattr(e, col)) <= 10.0, (src, col, a, e)
+
+
 def test_embedding_ivf_neardup_subset_of_brute(spark, vectors):
     """The IVF-bucketed near-dup scale path: every reported pair is a true
     brute-force pair (exact cosine, no false positives), and the clustered
@@ -643,6 +694,18 @@ def test_ann_ivf_pq_refine_recovers_exact_ranks(spark, vectors, tmp_path):
         ).collect()
     }
     assert via_table == truth
+
+    # the lazy no-verify path (plan-audit shape) is result-identical
+    lazy = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_pq_topk(
+            vectors, queries, k=4, m=2, n_codes=16, n_cells=8, n_probe=8,
+            centroids=cents, refine_factor=10,
+            refine_vectors=spark.read.parquet(rv_path),
+            verify_refine_coverage=False,
+        ).collect()
+    }
+    assert lazy == truth
 
 
 def test_ann_ivf_pq_refine_cell_mismatch_fails_loudly(spark, vectors, tmp_path):

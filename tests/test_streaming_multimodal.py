@@ -727,6 +727,74 @@ def test_streaming_minhash_neardup_stateful(spark, tmp_path):
     assert out_s.filter("kind = 'dropped' and id_b is not null").count() == 0
 
 
+def test_streaming_minhash_neardup_saturated_old_buckets(spark, tmp_path):
+    """SATURATED-corpus parity (VERDICT r4 item 7): the old-bucket cap must
+    BIND across the state store — a bucket filled to max_bucket_size in an
+    earlier run rejects every later arrival (dropped markers, zero new
+    pairs), while the prefix members' pairs stay exactly C(cap, 2) per
+    band. Also pins the documented batch/stream semantic difference on the
+    same corpus: batch drops the saturated bucket WHOLESALE (0 pairs, row
+    in oversized_band_report); streaming keeps the first cap members'
+    pairs."""
+    from pilsner_spark.operators.dedup import (
+        minhash_bands,
+        minhash_candidate_pairs,
+        oversized_band_report,
+    )
+    from pilsner_spark.streaming.mentions_stream import streaming_minhash_neardup_pairs
+
+    schema = "doc_id string, text string"
+    txt = "identical near duplicate payload text for every member of this bucket family"
+    first = [(f"a{i}", txt) for i in range(3)]  # fills every shared bucket to the cap
+    later = [(f"b{i}", txt) for i in range(2)]  # must ALL be rejected by state
+
+    src = str(tmp_path / "sat_in")
+    ckpt = str(tmp_path / "sat_ckpt")
+    sink = str(tmp_path / "sat_out")
+    spark.createDataFrame(first, schema).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = (
+            streaming_minhash_neardup_pairs(stream, max_bucket_size=3)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink)
+
+    out1 = run()
+    pairs1 = {(r.id_a, r.id_b) for r in out1.filter("kind='pair'").select("id_a", "id_b").distinct().collect()}
+    assert pairs1 == {("a0", "a1"), ("a0", "a2"), ("a1", "a2")}  # C(3,2) prefix pairs
+    assert out1.filter("kind='dropped'").count() == 0
+    # every band bucket holds exactly the 3 identical docs: per-band pair
+    # count is exactly C(3,2) — the cap bound is tight, not approximate
+    per_band = out1.filter("kind='pair'").groupBy("band_key").count().collect()
+    assert per_band and all(r["count"] == 3 for r in per_band)
+
+    # run 2: both later docs hit buckets ALREADY at cap in the state store
+    spark.createDataFrame(later, schema).write.mode("append").parquet(src)
+    out2 = run()
+    new = out2.subtract(out1)
+    assert new.filter("kind='pair'").count() == 0  # the old-bucket cap binds
+    dropped = {r.id_a for r in new.filter("kind='dropped'").select("id_a").distinct().collect()}
+    assert dropped == {"b0", "b1"}
+    # dropped markers appear in EVERY band bucket the rejected doc hashed to
+    n_bands = out1.filter("kind='pair'").select("band_key").distinct().count()
+    assert new.filter("kind='dropped'").select("band_key").distinct().count() == n_bands
+
+    # same corpus through batch: the saturated bucket drops WHOLESALE —
+    # zero pairs — and the oversized report names every band bucket
+    batch_df = spark.createDataFrame(first + later, schema)
+    bands = minhash_bands(batch_df)
+    assert minhash_candidate_pairs(bands, max_bucket_size=3).count() == 0
+    assert oversized_band_report(bands, max_bucket_size=3).count() == n_bands
+
+
 def test_streaming_hygiene_projections_match_batch(spark, tmp_path):
     """C4 line cleaning and PII redaction are pure projections, so they
     compose with Structured Streaming unchanged (append mode, no state):

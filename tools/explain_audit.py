@@ -539,6 +539,10 @@ def _ann_refined_served_df(spark):
         refine_factor=4,
         refine_vectors=spark.read.parquet(f"{tmp}/refine"),
         refine_vec_col="embedding",
+        # the audit inspects the LAZY end-to-end plan; the default eager
+        # coverage check (ADVICE r4) would hide the refine join behind a
+        # localCheckpoint scan without changing its physical shape
+        verify_refine_coverage=False,
     )
 
 
