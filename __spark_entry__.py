@@ -1928,7 +1928,12 @@ def oracle_sql() -> dict[str, str]:
             "  from wins w join dup d using (wh) where w.doc_id != d.canon_doc group by w.doc_id), "
             "base as (select t.doc_id, t.ts, coalesce(c.starts, []) as starts from toks t left join covered c on t.doc_id = c.doc_id), "
             "k as (select doc_id, ts, len(ts) as n_tokens, "
-            "  [i for i in generate_series(1, len(ts)) if len(list_filter(starts, s -> s <= i and i < s + 5)) = 0] as keep from base) "
+            # nested comprehension capturing the outer var (NOT a lambda
+            # capture: list_filter(starts, s -> ... i ...) is the one shape
+            # no driver-passing oracle exercises, so it stays out) — the
+            # inner-comprehension capture is proven driver-safe by
+            # dedup_incremental's r4-green signature expression
+            "  [i for i in generate_series(1, len(ts)) if len([s for s in starts if s <= i and i < s + 5]) = 0] as keep from base) "
             "select doc_id, n_tokens, n_tokens - len(keep) as n_removed, "
             "array_to_string([ts[i] for i in keep], ' ') as cleaned_text from k"
         ),
